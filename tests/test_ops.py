@@ -1,0 +1,222 @@
+"""Unit tests of the numeric core against closed-form expectations.
+
+SURVEY.md §7 build order step 1.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transfusion_tpu.ops import (
+    apply_rope,
+    gumbel_sample,
+    min_p_filter,
+    model_output_to_flow,
+    noise_data,
+    odeint,
+    rope_angles,
+    softclamp,
+    sort_spans_by_offset,
+    spans_to_attn_mask,
+    spans_to_is_any_modality,
+    spans_to_modality_mask,
+    spans_to_rotary_positions,
+    spans_to_token_times,
+)
+from transfusion_tpu.ops.norms import l2norm, rms_norm
+from transfusion_tpu.utils import (
+    char_tokenize,
+    decode_chars,
+    concat_contiguous_text,
+    tokens_since_rightmost_id,
+)
+
+
+def test_l2norm_and_rmsnorm():
+    x = jnp.array([[3.0, 4.0]])
+    np.testing.assert_allclose(l2norm(x), [[0.6, 0.8]], atol=1e-6)
+    out = rms_norm(x, jnp.zeros(2), 2**0.5)
+    np.testing.assert_allclose(
+        np.linalg.norm(out, axis=-1), [2**0.5 * 1.0], atol=1e-5
+    )
+
+
+def test_softclamp():
+    np.testing.assert_allclose(softclamp(jnp.array(0.0), 50.0), 0.0, atol=1e-7)
+    assert float(softclamp(jnp.array(1e6), 50.0)) <= 50.0
+    np.testing.assert_allclose(
+        softclamp(jnp.array(1.0), 50.0), np.tanh(1 / 50) * 50, atol=1e-5, rtol=1e-5
+    )
+
+
+def test_noise_and_flow_roundtrip():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 5, 3))
+    noise = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 3))
+    times = jnp.array([0.25, 0.75])
+    noised, flow = noise_data(x, noise, times)
+    np.testing.assert_allclose(
+        noised, x * times[:, None, None] + noise * (1 - times[:, None, None]),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(flow, x - noise, atol=1e-6)
+
+    # a perfect clean prediction converts back to the true flow
+    pred_flow = model_output_to_flow(x, noised, times, eps=1e-2)
+    np.testing.assert_allclose(pred_flow, flow, atol=1e-4)
+
+
+def test_min_p_filter():
+    logits = jnp.log(jnp.array([[0.5, 0.3, 0.15, 0.05]]))
+    out = min_p_filter(logits, min_p=0.5)  # limit = 0.25
+    assert np.isfinite(np.asarray(out[0, :2])).all()
+    assert np.isneginf(np.asarray(out[0, 2:])).all()
+
+
+def test_gumbel_sample_greedy():
+    logits = jnp.array([[0.1, 5.0, 0.2]])
+    assert int(gumbel_sample(jax.random.PRNGKey(0), logits, temperature=0.0)[0]) == 1
+    # temperature > 0 still overwhelmingly picks the 5.0 logit
+    samples = [
+        int(gumbel_sample(jax.random.PRNGKey(i), logits, temperature=0.5)[0])
+        for i in range(20)
+    ]
+    assert samples.count(1) >= 18
+
+
+def test_odeint_exponential():
+    # dy/dt = y  ->  y(1) = e
+    fn = lambda t, y: y
+    times = jnp.linspace(0.0, 1.0, 65)
+    for method, tol in [("euler", 3e-2), ("midpoint", 1e-4), ("heun", 1e-4), ("rk4", 1e-6)]:
+        y = odeint(fn, jnp.array(1.0), times, method=method)
+        np.testing.assert_allclose(float(y), np.e, rtol=tol)
+
+
+def test_odeint_trajectory_shape():
+    fn = lambda t, y: -y
+    times = jnp.linspace(0.0, 1.0, 8)
+    y, traj = odeint(fn, jnp.ones((3,)), times, return_trajectory=True)
+    assert traj.shape == (8, 3)
+    np.testing.assert_allclose(traj[-1], y)
+
+
+# ---------------------------------------------------------------------------
+# span ops — semantics fixed by reference transfusion.py:343-513
+# ---------------------------------------------------------------------------
+
+
+def _naive_mask_numpy(n, spans):
+    b, m, _ = spans.shape
+    out = np.zeros((b, n, n), bool)
+    for bi in range(b):
+        for i in range(n):
+            for j in range(n):
+                ok = i >= j
+                for t, off, ln in spans[bi]:
+                    ok = ok or (i >= off and j < off + ln)
+                out[bi, i, j] = ok
+    return out
+
+
+def test_spans_to_attn_mask_matches_bruteforce():
+    spans = jnp.array(
+        [
+            [[0, 3, 4], [1, 9, 2]],
+            [[0, 1, 5], [0, 0, 0]],  # second row is padding
+        ]
+    )
+    got = np.asarray(spans_to_attn_mask(12, spans))
+    want = _naive_mask_numpy(12, np.asarray(spans))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_rotary_positions_reference_example():
+    # reference transfusion.py:402-404 docstring example
+    spans = jnp.array([[[0, 3, 4]]])
+    pos = np.asarray(spans_to_rotary_positions(10, spans))[0]
+    np.testing.assert_array_equal(pos, [0, 1, 2, 3, 3, 3, 3, 4, 5, 6])
+
+
+def test_spans_instance_and_type_masks():
+    spans = jnp.array([[[1, 2, 3], [0, 7, 2]]])
+    mask = np.asarray(spans_to_modality_mask(10, spans, num_modalities=2))
+    assert mask.shape == (1, 2, 2, 10)
+    # type 1 covers positions 2..4 (instance 0)
+    np.testing.assert_array_equal(np.nonzero(mask[0, 1, 0])[0], [2, 3, 4])
+    # type 0 covers positions 7..8 (instance 1)
+    np.testing.assert_array_equal(np.nonzero(mask[0, 0, 1])[0], [7, 8])
+    any_mod = np.asarray(spans_to_is_any_modality(10, spans))[0]
+    np.testing.assert_array_equal(np.nonzero(any_mod)[0], [2, 3, 4, 7, 8])
+
+
+def test_spans_token_times():
+    spans = jnp.array([[[0, 1, 2], [1, 5, 3]]])
+    times = jnp.array([[0.25, 0.75]])
+    got = np.asarray(spans_to_token_times(9, spans, times))[0]
+    want = np.array([0, 0.25, 0.25, 0, 0, 0.75, 0.75, 0.75, 0])
+    np.testing.assert_allclose(got, want)
+
+
+def test_sort_spans():
+    spans = jnp.array([[[1, 9, 2], [0, 0, 0], [0, 3, 4]]])
+    sorted_spans, order = sort_spans_by_offset(spans)
+    np.testing.assert_array_equal(
+        np.asarray(sorted_spans)[0], [[0, 3, 4], [1, 9, 2], [0, 0, 0]]
+    )
+
+
+def test_rope_properties():
+    # norm preservation + relative-position property of dot products
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 4, 16))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 4, 16))
+
+    pos = jnp.arange(4)
+    ang = rope_angles(pos, 16)
+    q_r, k_r = apply_rope(ang, q), apply_rope(ang, k)
+    np.testing.assert_allclose(
+        np.linalg.norm(q_r, axis=-1), np.linalg.norm(q, axis=-1), atol=1e-4
+    )
+
+    # shifting both positions by a constant leaves q.k dot products unchanged
+    ang_shift = rope_angles(pos + 7, 16)
+    q_s, k_s = apply_rope(ang_shift, q), apply_rope(ang_shift, k)
+    dots = np.einsum("bhid,bhjd->bhij", np.asarray(q_r), np.asarray(k_r))
+    dots_s = np.einsum("bhid,bhjd->bhij", np.asarray(q_s), np.asarray(k_s))
+    np.testing.assert_allclose(dots, dots_s, atol=1e-3)
+
+    # longer angle buffers align to the tail (decode semantics)
+    ang_long = rope_angles(jnp.arange(10), 16)
+    tail = apply_rope(ang_long, q)
+    ang_tail = rope_angles(jnp.arange(6, 10), 16)
+    np.testing.assert_allclose(tail, apply_rope(ang_tail, q), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# host helpers
+# ---------------------------------------------------------------------------
+
+
+def test_char_tokenizer_roundtrip():
+    toks = char_tokenize("14,14", offset=100)
+    assert decode_chars(toks, offset=100) == "14,14"
+
+
+def test_tokens_since_rightmost_id():
+    t = np.array([9, 2, 8, 4, 7])
+    np.testing.assert_array_equal(tokens_since_rightmost_id(t, 2), [8, 4, 7])
+    assert tokens_since_rightmost_id(t, 99).size == 0
+    assert tokens_since_rightmost_id(np.array([1, 2, 3]), 3).size == 0
+
+
+def test_concat_contiguous_text():
+    sample = [
+        np.array([1, 2], dtype=np.int32),
+        np.array([3], dtype=np.int32),
+        (0, np.zeros((2, 4), np.float32)),
+        np.array([4], dtype=np.int32),
+    ]
+    out = concat_contiguous_text(sample)
+    assert len(out) == 3
+    np.testing.assert_array_equal(out[0], [1, 2, 3])

@@ -1,0 +1,282 @@
+"""The Transfusion transformer stack (flax.linen), TPU-first.
+
+Parity target: reference transfusion.py:1035-1252 (`Transformer`). Features:
+  * random-fourier time conditioning MLP (ref :1060-1064)
+  * per-block AdaptiveWrapper (DiT adaLN / ada-LN-zero)
+  * U-Net skip connections over the depth (UViT; ref :1079-1081, 1199-1212)
+  * value residual from the first layer (ref :1190, 1224-1229)
+  * hyper-connection multi-stream residuals (ref :1066-1070, 1185, 1243)
+  * unified masking: causal, transfusion span mask, or none (modality-only)
+  * preallocated KV ring-buffer cache: prefill and decode use the same code
+    path; position validity is an explicit mask (XLA-friendly, no growing
+    tensors)
+
+The mask contract replaces the reference's mode flags (ref :1134-1168):
+  - no cache: `causal=True` or `spans` builds the structural mask
+  - cache passed: the cache validity mask (arange(N) < idx + n) is always
+    applied; `causal` composes with absolute positions; spans/attn_mask are
+    for prefill (cache idx == 0) where the chunk covers the whole prefix.
+Callers pass only the *tail* tokens when decoding with a cache (the reference
+instead slices internally, ref :1161-1168).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from transfusion_tpu.models.layers import (
+    AdaptiveWrapper,
+    Attention,
+    FeedForward,
+    RMSNorm,
+    random_fourier_embed,
+)
+from transfusion_tpu.ops.hyper_connections import (
+    HyperConnection,
+    expand_stream,
+    reduce_stream,
+)
+from transfusion_tpu.ops.rope import rope_angles
+from transfusion_tpu.ops.spans import spans_to_attn_mask, spans_to_is_any_modality
+
+
+def make_kv_cache(
+    depth: int,
+    batch: int,
+    heads: int,
+    max_len: int,
+    dim_head: int,
+    dtype=jnp.float32,
+):
+    """Preallocated KV ring buffer for `depth` layers."""
+    shape = (depth, batch, heads, max_len, dim_head)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "idx": jnp.zeros((), jnp.int32),
+    }
+
+
+class Transformer(nn.Module):
+    dim: int
+    depth: int
+    dim_head: int = 64
+    heads: int = 8
+    dropout: float = 0.0
+    ff_expansion_factor: float = 4.0
+    attn_laser: bool = False
+    unet_skips: bool = True
+    num_residual_streams: int = 1
+    num_residual_fracs: int = 4
+    attn_impl: str = "dense"  # 'dense' | 'flash'
+    attn_softcap: float = 50.0
+    attn_gate_values: bool = True
+    rope_theta: float = 10000.0
+    fourier_seed: int = 0
+    dtype: Any = jnp.float32
+
+    def _build_mask(self, n, cache, causal, spans, attn_mask, batch):
+        """Compose Bool[b|1, 1, n, kv] or return None (full attention)."""
+        masks = []
+
+        if cache is not None:
+            kv_len = cache["k"].shape[-2]
+            idx = cache["idx"]
+            kv_pos = jnp.arange(kv_len)
+            valid = kv_pos[None, :] < (idx + n)  # [1, kv]
+            masks.append(valid[None, None, :, :].repeat(n, axis=2))
+            if causal:
+                q_pos = idx + jnp.arange(n)
+                masks.append((q_pos[:, None] >= kv_pos[None, :])[None, None])
+            if spans is not None:
+                m = spans_to_attn_mask(n, spans)  # [b, n, n] (prefill only)
+                m = jnp.pad(m, ((0, 0), (0, 0), (0, kv_len - n)))
+                masks.append(m[:, None])
+            if attn_mask is not None:
+                m = jnp.pad(attn_mask, ((0, 0), (0, 0), (0, kv_len - n)))
+                masks.append(m[:, None])
+        else:
+            if causal:
+                seq = jnp.arange(n)
+                masks.append((seq[:, None] >= seq[None, :])[None, None])
+            if spans is not None:
+                masks.append(spans_to_attn_mask(n, spans)[:, None])
+            if attn_mask is not None:
+                masks.append(attn_mask[:, None])
+
+        if not masks:
+            return None
+
+        out = masks[0]
+        for m in masks[1:]:
+            out = out & m
+        return out
+
+    @nn.compact
+    def __call__(
+        self,
+        x,  # Float[b, n, dim] — only the tokens to process (tail if decoding)
+        times=None,  # None | Float[b] | Float[b, n]
+        attn_mask=None,  # Bool[b, n, n] | None
+        spans=None,  # Int[b, m, 3] | None
+        is_any_modality=None,  # bool | Bool[b, n] | None
+        rotary_pos=None,  # Int[n] | Int[b, n] | None — absolute positions of x
+        cache: Optional[dict] = None,
+        modality_only: bool = False,
+        causal: bool = False,
+        deterministic: bool = True,
+    ):
+        b, n, _ = x.shape
+        use_flash = self.attn_impl == "flash" and cache is None
+
+        # --- time conditioning -------------------------------------------
+        cond = None
+        if times is not None:
+            if times.ndim == 0:
+                times = jnp.broadcast_to(times, (b,))
+            rfe = random_fourier_embed(times, self.dim, seed=self.fourier_seed)
+            cond = nn.silu(
+                nn.Dense(self.dim * 4, dtype=self.dtype, name="to_time_cond")(rfe)
+            )
+            if times.ndim == 1:
+                cond = cond  # [b, 1, 4d]
+            # times [b, n] -> cond [b, n, 4d]
+
+        # --- masks ---------------------------------------------------------
+        flash_spec = None
+        if use_flash and (spans is not None or causal) and attn_mask is None:
+            flash_spec = {"spans": spans, "causal": causal}
+            mask = None
+        else:
+            mask = self._build_mask(n, cache, causal, spans, attn_mask, b)
+
+        if is_any_modality is None and spans is not None:
+            is_any_modality = spans_to_is_any_modality(n, spans)
+
+        # --- rotary ---------------------------------------------------------
+        rope = None
+        if rotary_pos is not None:
+            rope = rope_angles(rotary_pos, self.dim_head, self.rope_theta)
+
+        adaptive_kwargs = dict(
+            cond=cond,
+            modality_only=modality_only,
+            is_any_modality=is_any_modality,
+        )
+
+        # --- layers ----------------------------------------------------------
+        streams = self.num_residual_streams
+        s = expand_stream(x, streams)
+
+        skips = []
+        value_residual = None
+        new_k, new_v = [], []
+        new_idx = None
+
+        for ind in range(self.depth):
+            layer = ind + 1
+            is_first = ind == 0
+
+            if layer <= (self.depth // 2):
+                skips.append(s)
+
+            if ind >= (self.depth / 2) and self.unet_skips:
+                skip = skips.pop()
+                residual = s
+                s = (
+                    nn.Dense(
+                        self.dim, use_bias=False, dtype=self.dtype,
+                        name=f"skip_proj_{ind}",
+                    )(jnp.concatenate([s, skip], axis=-1))
+                    + residual
+                )
+
+            attn = Attention(
+                dim=self.dim,
+                dim_head=self.dim_head,
+                heads=self.heads,
+                dropout=self.dropout,
+                softcap_value=self.attn_softcap,
+                gate_values=self.attn_gate_values,
+                laser=self.attn_laser,
+                learned_value_residual_mix=not is_first,
+                attn_impl=self.attn_impl,
+                dtype=self.dtype,
+                name=f"attn_{ind}",
+            )
+            ff = FeedForward(
+                dim=self.dim,
+                expansion_factor=self.ff_expansion_factor,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name=f"ff_{ind}",
+            )
+
+            attn_wrapped = AdaptiveWrapper(
+                fn=attn, dim=self.dim, dim_cond=self.dim * 4, name=f"attn_ada_{ind}"
+            )
+            ff_wrapped = AdaptiveWrapper(
+                fn=ff, dim=self.dim, dim_cond=self.dim * 4, name=f"ff_ada_{ind}"
+            )
+
+            hc_attn = HyperConnection(
+                dim=self.dim, streams=streams, fracs=self.num_residual_fracs,
+                layer_index=2 * ind, name=f"hc_attn_{ind}",
+            )
+            hc_ff = HyperConnection(
+                dim=self.dim, streams=streams, fracs=self.num_residual_fracs,
+                layer_index=2 * ind + 1, name=f"hc_ff_{ind}",
+            )
+
+            layer_cache = None
+            if cache is not None:
+                layer_cache = {
+                    "k": cache["k"][ind],
+                    "v": cache["v"][ind],
+                    "idx": cache["idx"],
+                }
+
+            branch, s_mixed = hc_attn(s)
+            attn_out, attn_values, layer_new_cache = attn_wrapped(
+                branch,
+                mask=mask,
+                rope=rope,
+                cache=layer_cache,
+                value_residual=value_residual,
+                flash_spec=flash_spec,
+                deterministic=deterministic,
+                **adaptive_kwargs,
+            )
+            if value_residual is None:
+                value_residual = attn_values
+            if layer_new_cache is not None:
+                new_k.append(layer_new_cache["k"])
+                new_v.append(layer_new_cache["v"])
+                new_idx = layer_new_cache["idx"]
+
+            s = hc_attn(s_mixed, attn_out)
+
+            branch, s_mixed = hc_ff(s)
+            ff_out = ff_wrapped(
+                branch, deterministic=deterministic, **adaptive_kwargs
+            )
+            s = hc_ff(s_mixed, ff_out)
+
+        x = reduce_stream(s)
+        assert len(skips) == 0
+
+        out = RMSNorm(self.dim, name="final_norm")(x)
+
+        new_cache = None
+        if cache is not None:
+            new_cache = {
+                "k": jnp.stack(new_k),
+                "v": jnp.stack(new_v),
+                "idx": new_idx,
+            }
+
+        return out, new_cache
