@@ -1,0 +1,148 @@
+"""Transformer stack tests: shapes, masking semantics, KV-cache parity.
+
+SURVEY.md §7 build order step 2. The KV-cache tests assert the property the
+reference relies on implicitly: cached decoding reproduces the uncached
+causal forward.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transfusion_tpu.models import Transformer, make_kv_cache
+
+
+def make_model(**kw):
+    cfg = dict(dim=32, depth=2, dim_head=8, heads=4)
+    cfg.update(kw)
+    return Transformer(**cfg)
+
+
+def init_and_run(model, x, rng=0, **kwargs):
+    params = model.init(jax.random.PRNGKey(rng), x, **kwargs)
+    out, cache = model.apply(params, x, **kwargs)
+    return params, out, cache
+
+
+def test_shapes_text_causal():
+    model = make_model()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 32))
+    params, out, cache = init_and_run(model, x, causal=True)
+    assert out.shape == (2, 10, 32)
+    assert cache is None
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("streams", [1, 4])
+def test_residual_streams(streams):
+    model = make_model(num_residual_streams=streams, depth=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 32))
+    _, out, _ = init_and_run(model, x, causal=True)
+    assert out.shape == (2, 6, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_modality_only_needs_no_mask():
+    model = make_model()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 32))
+    times = jnp.array([0.3, 0.8])
+    _, out, _ = init_and_run(model, x, times=times, modality_only=True)
+    assert out.shape == (2, 6, 32)
+
+
+def test_causal_mask_blocks_future():
+    """Perturbing a future token must not change earlier outputs (causal)."""
+    model = make_model()
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 32))
+    params = model.init(jax.random.PRNGKey(1), x, causal=True)
+    out1, _ = model.apply(params, x, causal=True)
+    x2 = x.at[:, -1].add(10.0)
+    out2, _ = model.apply(params, x2, causal=True)
+    np.testing.assert_allclose(out1[:, :-1], out2[:, :-1], atol=1e-5)
+    assert not np.allclose(out1[:, -1], out2[:, -1])
+
+
+def test_span_mask_bidirectional_within_modality():
+    """Inside a modality span, earlier tokens DO see later ones."""
+    model = make_model()
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 12, 32))
+    spans = jnp.array([[[0, 4, 5]]])  # modality covers positions 4..8
+    times = jnp.zeros((1, 12))
+    kw = dict(spans=spans, times=times)
+    params = model.init(jax.random.PRNGKey(1), x, **kw)
+    out1, _ = model.apply(params, x, **kw)
+    # perturb last modality token (pos 8): pos 4 output must change
+    x2 = x.at[:, 8].add(10.0)
+    out2, _ = model.apply(params, x2, **kw)
+    assert not np.allclose(out1[:, 4], out2[:, 4])
+    # but text token at pos 2 (before the span) must be unaffected
+    np.testing.assert_allclose(out1[:, :3], out2[:, :3], atol=1e-5)
+
+
+def test_kv_cache_matches_uncached_causal():
+    """Prefill + step-by-step decode == full causal forward."""
+    model = make_model(depth=3)
+    b, n, dim = 2, 9, 32
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, n, dim))
+    pos = jnp.arange(n)
+    params = model.init(jax.random.PRNGKey(1), x, causal=True, rotary_pos=pos)
+
+    full, _ = model.apply(params, x, causal=True, rotary_pos=pos)
+
+    # prefill the first 5 tokens, then decode 4 one at a time
+    cache = make_kv_cache(depth=3, batch=b, heads=4, max_len=16, dim_head=8)
+    out_prefill, cache = model.apply(
+        params, x[:, :5], causal=True, rotary_pos=pos[:5], cache=cache
+    )
+    np.testing.assert_allclose(out_prefill, full[:, :5], atol=1e-4)
+
+    outs = []
+    for i in range(5, n):
+        out_i, cache = model.apply(
+            params, x[:, i : i + 1], rotary_pos=pos[i : i + 1], cache=cache
+        )
+        outs.append(out_i)
+    decoded = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(decoded, full[:, 5:], atol=1e-4)
+
+
+def test_laser_and_gates_options():
+    model = make_model(attn_laser=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 6, 32))
+    _, out, _ = init_and_run(model, x, causal=True)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_skips_odd_depth():
+    model = make_model(depth=5)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 32))
+    _, out, _ = init_and_run(model, x, causal=True)
+    assert out.shape == (1, 4, 32)
+
+
+def test_time_conditioning_changes_modality_tokens_only():
+    """FiLM layers are zero-init (adaLN-zero), so perturb them first; then
+    changing times must affect modality tokens but not text tokens."""
+    model = make_model()
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 32))
+    spans = jnp.array([[[0, 2, 3]]])
+    kw1 = dict(spans=spans, times=jnp.full((1, 8), 0.2))
+    kw2 = dict(spans=spans, times=jnp.full((1, 8), 0.9))
+    params = model.init(jax.random.PRNGKey(1), x, **kw1)
+
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, p: (
+            p + 0.05
+            if any("to_film" in str(k) for k in path) and p.ndim == 2
+            else p
+        ),
+        params,
+    )
+
+    out1, _ = model.apply(params, x, **kw1)
+    out2, _ = model.apply(params, x, **kw2)
+    # modality tokens (2..4) are FiLM-conditioned on time -> change
+    assert not np.allclose(out1[:, 2:5], out2[:, 2:5])
+    # text token before the span sees identical input and conditioning...
+    np.testing.assert_allclose(out1[:, :2], out2[:, :2], atol=1e-5)
