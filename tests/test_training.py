@@ -1,0 +1,161 @@
+"""Trainer / EMA / optimizer / checkpoint / mesh tests (CPU x8 devices)."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from transfusion_tpu.models.transfusion import Transfusion
+from transfusion_tpu.parallel import make_mesh, shard_params
+from transfusion_tpu.training import (
+    EmaState,
+    adam_atan2,
+    ema_update,
+    muon,
+    muon_adam_atan2,
+    muon_param_mask,
+)
+from transfusion_tpu.training.ema import init_ema
+from transfusion_tpu.training.trainer import Trainer
+
+
+def tiny_model(**kw):
+    return Transfusion(
+        num_text_tokens=8,
+        dim_latent=16,
+        modality_default_shape=(4,),
+        transformer=dict(dim=32, depth=2, dim_head=8, heads=4),
+        pad_multiple=16,
+        **kw,
+    )
+
+
+def tiny_batch():
+    return [
+        [np.random.randint(0, 8, 6).astype(np.int32),
+         np.random.randn(4, 16).astype(np.float32)],
+        [np.random.randint(0, 8, 3).astype(np.int32),
+         np.random.randn(2, 16).astype(np.float32),
+         np.random.randint(0, 8, 2).astype(np.int32)],
+    ]
+
+
+def test_trainer_loss_decreases():
+    model = tiny_model()
+    trainer = Trainer(model, learning_rate=1e-3)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    batch = tiny_batch()
+    packed = model.pack(batch)
+
+    losses = []
+    for i in range(12):
+        state, metrics = trainer.train_step(
+            state, packed, jax.random.PRNGKey(100 + i)
+        )
+        losses.append(float(metrics["loss"]))
+
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+    assert int(state.step) == 12
+
+
+def test_trainer_velocity_consistency_path():
+    model = tiny_model()
+    trainer = Trainer(model, velocity_consistency=True)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state, metrics = trainer.train_step(
+        state, tiny_batch(), jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_ema_schedule():
+    params = {"w": jnp.ones(3)}
+    state = init_ema(params)
+    # before warmup: copies
+    state = ema_update(state, {"w": jnp.full(3, 2.0)}, update_after_step=2,
+                       update_every=1)
+    np.testing.assert_allclose(state.params["w"], 2.0)
+    state = ema_update(state, {"w": jnp.full(3, 4.0)}, update_after_step=2,
+                       update_every=1)
+    np.testing.assert_allclose(state.params["w"], 4.0)
+    # after warmup: blends with beta
+    state = ema_update(state, {"w": jnp.full(3, 8.0)}, beta=0.5,
+                       update_after_step=2, update_every=1)
+    np.testing.assert_allclose(state.params["w"], 6.0)
+
+
+def test_muon_mask_targets_matrices():
+    model = tiny_model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    mask = muon_param_mask(params)
+    leaves = jax.tree.leaves(mask)
+    assert any(leaves) and not all(leaves)
+    # all True leaves are 2-D kernels
+    flat_p = jax.tree_util.tree_leaves_with_path(params)
+    flat_m = jax.tree_util.tree_leaves_with_path(mask)
+    for (pp, p), (mp, m) in zip(flat_p, flat_m):
+        if m:
+            assert p.ndim == 2
+
+
+@pytest.mark.parametrize("opt_name", ["adam_atan2", "muon", "muon_adam_atan2"])
+def test_optimizers_reduce_quadratic(opt_name):
+    opt = {
+        "adam_atan2": lambda: adam_atan2(0.05),
+        "muon": lambda: muon(0.05),
+        "muon_adam_atan2": lambda: muon_adam_atan2(0.05, 0.05),
+    }[opt_name]()
+
+    params = {"w": jnp.ones((8, 4)) * 2.0}
+    opt_state = opt.init(params)
+
+    def loss(p):
+        return jnp.sum(p["w"] ** 2)
+
+    l0 = float(loss(params))
+    for _ in range(60):
+        g = jax.grad(loss)(params)
+        updates, opt_state = opt.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+    assert float(loss(params)) < l0 * 0.6
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = tiny_model()
+    trainer = Trainer(model, checkpoint_dir=str(tmp_path / "ckpt"))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state, _ = trainer.train_step(state, tiny_batch(), jax.random.PRNGKey(1))
+    trainer.save(state)
+
+    template = trainer.init_state(jax.random.PRNGKey(42))
+    restored = trainer.restore(template)
+    assert restored is not None
+    assert int(restored.step) == 1
+    w0 = jax.tree.leaves(state.params)[0]
+    w1 = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(w0), np.asarray(w1))
+
+
+def test_mesh_sharded_train_step():
+    """DP x FSDP x TP on the 8-device CPU mesh — full train step."""
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    model = tiny_model()
+    trainer = Trainer(model, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    # param shardings actually split over tensor axis
+    specs = jax.tree_util.tree_map_with_path(
+        lambda path, p: p.sharding.spec, state.params
+    )
+    spec_strs = {str(s) for s in jax.tree.leaves(specs, is_leaf=lambda x: hasattr(x, "index") or True)}
+
+    state, metrics = trainer.train_step(state, tiny_batch(), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    state, metrics = trainer.train_step(state, tiny_batch(), jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))

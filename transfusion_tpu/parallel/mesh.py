@@ -1,0 +1,109 @@
+"""Device mesh + sharding rules — the framework's parallelism layer.
+
+The reference has no in-library parallelism (SURVEY.md §2.5: DP only via HF
+accelerate in two example scripts). Here DP/FSDP/TP are first-class:
+
+  axes: 'data'   — batch sharding (gradient all-reduce rides ICI)
+        'fsdp'   — parameter/optimizer sharding over the data replicas
+        'tensor' — megatron-style tensor parallelism (attention heads and
+                   feedforward inner dim split column/row-wise)
+
+Everything uses jax.sharding + jit (GSPMD): we annotate parameter and batch
+shardings and let XLA insert the collectives (psum for DP grads,
+all-gather/reduce-scatter for FSDP, all-reduce pairs for TP matmuls).
+
+Sharding rules are path-based over the linen param tree:
+  to_qk/to_v/proj_in/to_time_cond kernels [d_in, d_out]: (fsdp, tensor)
+      — column-parallel (heads / GEGLU inner split over tensor)
+  to_out/proj_out kernels [d_in, d_out]: (tensor, fsdp)
+      — row-parallel (contracting dim sharded; XLA inserts the all-reduce)
+  embeddings / logit heads: vocab over tensor
+  everything else (norms, gates, film, biases): replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+COLUMN_PARALLEL = ("to_qk", "to_v", "proj_in", "to_time_cond", "skip_proj")
+ROW_PARALLEL = ("to_out", "proj_out")
+
+
+def make_mesh(
+    data: int = 1,
+    fsdp: int = 1,
+    tensor: int = 1,
+    devices=None,
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = data * fsdp * tensor
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    dev_array = np.asarray(devices[:n]).reshape(data, fsdp, tensor)
+    return Mesh(dev_array, axis_names=("data", "fsdp", "tensor"))
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", k)) for k in path)
+
+
+def param_partition_spec(path, p) -> P:
+    name = _path_str(path)
+
+    if p.ndim == 2:
+        if "text_embed" in name or "embedding" in name:
+            return P("tensor", "fsdp")
+        if "to_text_logits" in name:
+            return P("fsdp", "tensor")
+        if any(s in name for s in COLUMN_PARALLEL) and "kernel" in name:
+            return P("fsdp", "tensor")
+        if any(s in name for s in ROW_PARALLEL) and "kernel" in name:
+            return P("tensor", "fsdp")
+        if "kernel" in name:
+            return P("fsdp", None)
+    return P()
+
+
+def _feasible_spec(spec: P, shape, mesh: Mesh) -> P:
+    """Drop sharding on any dim not divisible by its mesh axis size."""
+    out = []
+    for i, axis in enumerate(spec):
+        if axis is None:
+            out.append(None)
+            continue
+        size = mesh.shape[axis]
+        if i < len(shape) and shape[i] % size == 0:
+            out.append(axis)
+        else:
+            out.append(None)
+    return P(*out)
+
+
+def shard_params(params, mesh: Mesh):
+    """NamedSharding tree for the model params under `mesh`."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, p: NamedSharding(
+            mesh, _feasible_spec(param_partition_spec(path, p), p.shape, mesh)
+        ),
+        params,
+    )
+
+
+def batch_sharding(mesh: Mesh, packed) -> object:
+    """Shard the packed batch: [b, ...] buffers over 'data'; latent groups
+    (instance-major, not batch-aligned) replicated — their scatter targets
+    land on the right data shard via XLA's gather/scatter handling."""
+    dp = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+
+    return packed.replace(
+        text=jax.device_put(packed.text, dp),
+        cfg_mask=jax.device_put(packed.cfg_mask, dp),
+        spans=jax.device_put(packed.spans, dp),
+        lengths=jax.device_put(packed.lengths, dp),
+        total_tokens=jax.device_put(packed.total_tokens, rep),
+        groups=jax.tree.map(lambda x: jax.device_put(x, rep), packed.groups),
+    )

@@ -26,7 +26,10 @@ class EmaState:
 
 
 def init_ema(params) -> EmaState:
-    return EmaState(params=jax.tree.map(jnp.asarray, params), step=jnp.zeros((), jnp.int32))
+    # materialize fresh buffers — the EMA copy must not alias the live params
+    # (aliasing breaks buffer donation in jitted train steps)
+    copied = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+    return EmaState(params=copied, step=jnp.zeros((), jnp.int32))
 
 
 def ema_update(

@@ -1,0 +1,179 @@
+"""Trainer: optax step, EMA, mesh sharding, metrics, checkpointing.
+
+First-class version of what the reference leaves to example scripts and HF
+accelerate (SURVEY.md §3.5): clip-by-norm + Adam, EMA update, periodic
+sampling hooks, and (new here) pjit sharding over a device mesh and orbax
+checkpoint/resume — the reference has no checkpointing at all (SURVEY.md
+§5.4).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from transfusion_tpu.parallel.mesh import batch_sharding, shard_params
+from transfusion_tpu.training.ema import EmaState, ema_update, init_ema
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    ema: EmaState
+    step: Any  # i32
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        optimizer: Optional[optax.GradientTransformation] = None,
+        learning_rate: float = 3e-4,
+        grad_clip_norm: Optional[float] = 0.5,
+        ema_beta: float = 0.99,
+        ema_update_every: int = 10,
+        ema_update_after_step: int = 100,
+        mesh=None,
+        velocity_consistency: bool = False,
+        velocity_consistency_delta_time: float = 1e-3,
+        checkpoint_dir: Optional[str] = None,
+    ):
+        self.model = model
+        self.mesh = mesh
+        self.velocity_consistency = velocity_consistency
+        self.velocity_delta = velocity_consistency_delta_time
+        self.checkpoint_dir = checkpoint_dir
+
+        tx = optimizer or optax.adam(learning_rate)
+        if grad_clip_norm is not None:
+            tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
+        self.tx = tx
+
+        self.ema_cfg = dict(
+            beta=ema_beta,
+            update_every=ema_update_every,
+            update_after_step=ema_update_after_step,
+        )
+        self._step_fn = None
+        self._ckpt_mgr = None
+
+    # ------------------------------------------------------------------
+
+    def init_state(self, rng) -> TrainState:
+        params = self.model.init_params(rng)
+        if self.mesh is not None:
+            shardings = shard_params(params, self.mesh)
+            params = jax.device_put(params, shardings)
+        state = TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            ema=init_ema(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        return state
+
+    # ------------------------------------------------------------------
+
+    def _build_step(self):
+        model, tx, ema_cfg = self.model, self.tx, self.ema_cfg
+        use_velocity = self.velocity_consistency
+        delta = self.velocity_delta
+
+        def step_fn(state: TrainState, packed, rng):
+            def loss_fn(params):
+                total, breakdown = model._loss_impl(
+                    params,
+                    packed,
+                    rng,
+                    None,
+                    state.ema.params if use_velocity else None,
+                    prob_uncond=model.prob_uncond,
+                    velocity_delta=delta,
+                    train=True,
+                )
+                return total, breakdown
+
+            (loss, breakdown), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_ema = ema_update(state.ema, new_params, **ema_cfg)
+
+            metrics = {
+                "loss": loss,
+                "text_loss": breakdown.text,
+                "grad_norm": optax.global_norm(grads),
+            }
+            for i, fl in enumerate(breakdown.flow):
+                metrics[f"flow_loss_{i}"] = fl
+
+            return (
+                TrainState(
+                    params=new_params,
+                    opt_state=new_opt,
+                    ema=new_ema,
+                    step=state.step + 1,
+                ),
+                metrics,
+            )
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def train_step(self, state: TrainState, batch, rng):
+        """One optimizer step on a ragged batch (list of ModalitySamples)
+        or a pre-packed PackedBatch."""
+        if isinstance(batch, list):
+            batch = self.model.encode_modalities(batch)
+            packed = self.model.pack(batch)
+        else:
+            packed = batch
+        packed = jax.tree.map(jnp.asarray, packed)
+        if self.mesh is not None:
+            packed = batch_sharding(self.mesh, packed)
+
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
+        return self._step_fn(state, packed, rng)
+
+    # ------------------------------------------------------------------
+    # checkpointing (orbax)
+    # ------------------------------------------------------------------
+
+    def _manager(self):
+        if self._ckpt_mgr is None:
+            import orbax.checkpoint as ocp
+
+            assert self.checkpoint_dir is not None, "set checkpoint_dir"
+            self._ckpt_mgr = ocp.CheckpointManager(
+                self.checkpoint_dir,
+                options=ocp.CheckpointManagerOptions(max_to_keep=3),
+            )
+        return self._ckpt_mgr
+
+    def save(self, state: TrainState):
+        import orbax.checkpoint as ocp
+
+        mgr = self._manager()
+        mgr.save(
+            int(state.step), args=ocp.args.StandardSave(jax.device_get(state))
+        )
+        mgr.wait_until_finished()
+
+    def restore(self, state_template: TrainState, step: Optional[int] = None):
+        import orbax.checkpoint as ocp
+
+        mgr = self._manager()
+        step = step if step is not None else mgr.latest_step()
+        if step is None:
+            return None
+        return mgr.restore(
+            step, args=ocp.args.StandardRestore(jax.device_get(state_template))
+        )
