@@ -1,0 +1,86 @@
+"""Benchmark: packed tokens/sec/chip on the joint text+latents train step.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload (matches bench_baseline_torch.py shape-for-shape): batch 16 samples,
+each [32 text][14x14x32 latent modality][8 text]; transformer dim 384 /
+depth 8 / heads 8x64 — the enwik8-scale config of the reference
+(train_text_only.py) with an MNIST-scale modality interleaved. Full training
+step: joint CE + flow loss, backward, global-norm clip, Adam, EMA.
+
+vs_baseline divides by the torch-CPU reference-equivalent measured by
+bench_baseline_torch.py (BASELINE_MEASURED.json). NOTE: this container
+exposes a single CPU core, so the baseline is single-threaded torch — see
+BASELINE.md.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from transfusion_tpu.models.transfusion import Transfusion
+    from transfusion_tpu.training.trainer import Trainer
+
+    model = Transfusion(
+        num_text_tokens=256,
+        dim_latent=32,
+        modality_default_shape=(14, 14),
+        transformer=dict(dim=384, depth=8, dim_head=64, heads=8),
+        pad_multiple=64,
+    )
+    trainer = Trainer(model, learning_rate=3e-4)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    batch = [
+        [
+            rng.integers(0, 256, 32).astype(np.int32),
+            (0, rng.standard_normal((14, 14, 32)).astype(np.float32)),
+            rng.integers(0, 256, 8).astype(np.int32),
+        ]
+        for _ in range(16)
+    ]
+    packed = model.pack(batch)
+    tokens_per_step = int(packed.total_tokens)
+
+    key = jax.random.PRNGKey(1)
+    # warmup / compile
+    for i in range(3):
+        key, k = jax.random.split(key)
+        state, metrics = trainer.train_step(state, packed, k)
+    jax.block_until_ready(metrics["loss"])
+
+    steps = 30
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        state, metrics = trainer.train_step(state, packed, k)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    tps = tokens_per_step * steps / dt
+
+    baseline = None
+    path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            baseline = json.load(f).get("tokens_per_sec")
+
+    out = {
+        "metric": "packed tokens/sec/chip (text+latents joint train step)",
+        "value": round(tps, 1),
+        "unit": "tokens/sec",
+        "vs_baseline": round(tps / baseline, 2) if baseline else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
