@@ -990,10 +990,9 @@ class Transfusion:
         if self.has_recon_loss and self.decoders[modality_type] is not None:
             dmod, dparams = self.decoders[modality_type]
             if dparams is None:
-                raise ValueError(
-                    "reconstruction loss with a decoder requires initialized "
-                    "decoder params (pass (module, params))"
-                )
+                probe = x if not mc.channel_first_latent else jnp.moveaxis(x, -1, 1)
+                dparams = dmod.init(jax.random.PRNGKey(0), probe)
+                self.decoders[modality_type][1] = dparams
             decoder = (dmod, dparams)
 
         fn = self._get_jit(

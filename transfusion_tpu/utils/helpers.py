@@ -103,7 +103,7 @@ def print_modality_sample(modality_sample: list) -> list[tuple]:
         else:
             output.append(("modality", tuple(np.asarray(item).shape)))
 
-    logger.info("%s", output)
+    print(output)
     return output
 
 
