@@ -24,16 +24,23 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from transfusion_tpu.models.transfusion import Transfusion
     from transfusion_tpu.training.trainer import Trainer
 
+    dtype = (
+        jnp.bfloat16
+        if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
+        else jnp.float32
+    )
     model = Transfusion(
         num_text_tokens=256,
         dim_latent=32,
         modality_default_shape=(14, 14),
         transformer=dict(dim=384, depth=8, dim_head=64, heads=8),
         pad_multiple=64,
+        dtype=dtype,
     )
     trainer = Trainer(model, learning_rate=3e-4)
     state = trainer.init_state(jax.random.PRNGKey(0))

@@ -6,4 +6,22 @@ lucidrains/transfusion-pytorch (reference mounted at /root/reference).
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: sampling/training entry points compile
+# several sizeable programs; caching them across processes matters even more
+# when the TPU backend compiles remotely. Disable with TRANSFUSION_JAX_CACHE=0.
+if _os.environ.get("TRANSFUSION_JAX_CACHE", "1") != "0":
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "TRANSFUSION_JAX_CACHE_DIR",
+        _os.path.expanduser("~/.cache/transfusion_tpu/jax"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax without the flags
+        pass
+
 from transfusion_tpu.utils import print_modality_sample  # noqa: F401
