@@ -154,3 +154,32 @@ def test_apply_modality_fn():
     assert (out[0][0][1] == 1).all()
     assert (out[2][0][1] == 2).all()
     assert (out[4][0][1] == 1).all() and (out[4][1][1] == 2).all()
+
+
+def test_native_assembly_matches_numpy():
+    """csrc/fastpack.cpp must be semantically identical to the numpy path."""
+    import pytest
+
+    from transfusion_tpu.data import packing
+
+    if packing._fastpack is None:
+        pytest.skip("native extension not built")
+
+    spec = make_spec()
+    rng = np.random.default_rng(0)
+    samples = []
+    for i in range(8):
+        s = [rng.integers(0, 10, 3 + i).astype(np.int32)]
+        if i % 2 == 0:
+            s.append((0, rng.standard_normal((2 + i, 4)).astype(np.float32)))
+        if i % 3 == 0:
+            s.append((1, rng.standard_normal((1 + i, 4)).astype(np.float32)))
+        samples.append(s)
+
+    for kw in (dict(), dict(wrap_sos_eos=False, add_meta=False)):
+        a = pack_samples(samples, spec, use_native=True, **kw)
+        b = pack_samples(samples, spec, use_native=False, **kw)
+        np.testing.assert_array_equal(a.text, b.text)
+        np.testing.assert_array_equal(a.cfg_mask, b.cfg_mask)
+        np.testing.assert_array_equal(a.spans, b.spans)
+        np.testing.assert_array_equal(a.lengths, b.lengths)

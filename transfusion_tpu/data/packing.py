@@ -161,6 +161,45 @@ def normalize_sample(sample) -> list:
 # ---------------------------------------------------------------------------
 
 
+try:  # native C++ assembly (csrc/fastpack.cpp); numpy fallback below
+    from transfusion_tpu import _fastpack  # type: ignore
+except Exception:  # pragma: no cover
+    _fastpack = None
+
+
+def _assemble_numpy(descriptors, n: int, m: int):
+    """Pure-numpy equivalent of _fastpack.pack_batch (semantics tested equal)."""
+    batch = len(descriptors)
+    text = np.full((batch, n), -1, np.int32)
+    cfg = np.zeros((batch, n), bool)
+    spans = np.zeros((batch, m, 3), np.int32)
+    lengths = np.zeros(batch, np.int32)
+
+    for b, items in enumerate(descriptors):
+        off = 0
+        si = 0
+        for item in items:
+            if item[0] == "t":
+                _, ids, maskable = item
+                ln = len(ids)
+                text[b, off : off + ln] = ids
+                if maskable:
+                    cfg[b, off : off + ln] = True
+                off += ln
+            else:
+                _, mtype, head, interior, eom = item
+                hl = len(head)
+                text[b, off : off + hl] = head
+                spans[b, si] = (mtype, off + hl, interior)
+                si += 1
+                off += hl + interior
+                if eom >= 0:
+                    text[b, off] = eom
+                    off += 1
+        lengths[b] = off
+    return text, cfg, spans, lengths
+
+
 def pack_samples(
     samples: Sequence[list],
     spec: PackSpec,
@@ -170,6 +209,7 @@ def pack_samples(
     pad_multiple: int = 64,
     pad_len: Optional[int] = None,
     span_multiple: int = 2,
+    use_native: bool = True,
 ) -> PackedBatch:
     """Pack a list of ragged ModalitySamples into one PackedBatch.
 
@@ -181,14 +221,17 @@ def pack_samples(
     add_meta: write the [meta][shape][som] ... [eom] frame around each
         modality (training / prompts). Sampling forwards pass False because
         the sampled text stream already contains the frame.
+
+    Buffer assembly runs in the native C++ extension when built
+    (csrc/fastpack.cpp); set use_native=False to force the numpy path.
     """
     batch = len(samples)
     num_modalities = len(spec.modalities)
 
-    all_text: list[np.ndarray] = []
-    all_cfg: list[np.ndarray] = []
-    all_spans: list[list[tuple[int, int, int]]] = []
+    descriptors: list[list] = []
+    all_span_counts: list[int] = []
     instances: list[dict] = []  # modality instances across the batch
+    lengths_py: list[int] = []
 
     for b, sample in enumerate(samples):
         sample = normalize_sample(sample)
@@ -200,16 +243,14 @@ def pack_samples(
                 np.array([spec.eos_id], np.int32),
             ]
 
-        text_parts: list[np.ndarray] = []
-        cfg_parts: list[np.ndarray] = []
-        spans: list[tuple[int, int, int]] = []
+        items: list = []
         offset = 0
+        span_count = 0
 
         for item in sample:
             if is_int_array(item) and not isinstance(item, tuple):
-                ids = np.asarray(item, np.int32)
-                text_parts.append(ids)
-                cfg_parts.append(np.ones(len(ids), bool))
+                ids = np.ascontiguousarray(np.asarray(item, np.int32))
+                items.append(("t", ids, 1))
                 offset += len(ids)
                 continue
 
@@ -236,7 +277,6 @@ def pack_samples(
             seq_shape = tuple(mspec.seq_shape_fn(spatial))
             length = int(math.prod(seq_shape))
 
-            precede = 0
             if add_meta:
                 shape_str = ",".join(map(str, spatial))
                 meta_chars = char_tokenize(shape_str, offset=spec.char_offset)
@@ -247,19 +287,18 @@ def pack_samples(
                         np.array([mspec.som_id], np.int32),
                     ]
                 )
-                precede = len(head)
-                text_parts.append(head)
-                cfg_parts.append(np.zeros(precede, bool))
+                eom = mspec.eom_id
+            else:
+                head = np.zeros(0, np.int32)
+                eom = -1
 
-            text_parts.append(np.full(length, -1, np.int32))
-            cfg_parts.append(np.zeros(length, bool))
-
-            start = offset + precede
-            spans.append((mtype, start, length))
+            head = np.ascontiguousarray(head)
+            start = offset + len(head)
+            items.append(("m", mtype, head, length, eom))
             instances.append(
                 dict(
                     batch=b,
-                    span_row=len(spans) - 1,
+                    span_row=span_count,
                     mtype=mtype,
                     latent=latent,
                     spatial=spatial,
@@ -267,42 +306,29 @@ def pack_samples(
                     offset=start,
                 )
             )
+            span_count += 1
+            offset = start + length + (1 if add_meta else 0)
 
-            offset = start + length
+        descriptors.append(items)
+        all_span_counts.append(span_count)
+        lengths_py.append(offset)
 
-            if add_meta:
-                text_parts.append(np.array([mspec.eom_id], np.int32))
-                cfg_parts.append(np.zeros(1, bool))
-                offset += 1
-
-        all_text.append(
-            np.concatenate(text_parts) if text_parts else np.zeros(0, np.int32)
-        )
-        all_cfg.append(
-            np.concatenate(cfg_parts) if cfg_parts else np.zeros(0, bool)
-        )
-        all_spans.append(spans)
-
-    lengths = np.array([len(t) for t in all_text], np.int32)
+    max_len = max(lengths_py) if lengths_py else 1
     n = pad_len if pad_len is not None else round_up_to_multiple(
-        max(int(lengths.max()), 1) + 1, pad_multiple
+        max(max_len, 1) + 1, pad_multiple
     )
-    assert n >= lengths.max(), f"pad_len {n} < longest sample {lengths.max()}"
-
-    text = np.full((batch, n), -1, np.int32)
-    cfg = np.zeros((batch, n), bool)
-    for b in range(batch):
-        text[b, : lengths[b]] = all_text[b]
-        cfg[b, : lengths[b]] = all_cfg[b]
+    assert n >= max_len, f"pad_len {n} < longest sample {max_len}"
 
     m = max(
         span_multiple,
-        round_up_to_multiple(max((len(s) for s in all_spans), default=1), span_multiple),
+        round_up_to_multiple(max(all_span_counts, default=1), span_multiple),
     )
-    spans_arr = np.zeros((batch, m, 3), np.int32)
-    for b, spans in enumerate(all_spans):
-        for i, s in enumerate(spans):
-            spans_arr[b, i] = s
+
+    if use_native and _fastpack is not None:
+        text, cfg, spans_arr, lengths = _fastpack.pack_batch(descriptors, n, m)
+        cfg = cfg.astype(bool)
+    else:
+        text, cfg, spans_arr, lengths = _assemble_numpy(descriptors, n, m)
 
     # group instances by (type, latent spatial shape), deterministic order
     group_key = lambda inst: (inst["mtype"], inst["spatial"])

@@ -43,6 +43,10 @@ class Trainer:
         velocity_consistency: bool = False,
         velocity_consistency_delta_time: float = 1e-3,
         checkpoint_dir: Optional[str] = None,
+        metrics_path: Optional[str] = None,
+        profile_logdir: Optional[str] = None,
+        profile_start_step: int = 10,
+        profile_num_steps: int = 3,
     ):
         self.model = model
         self.mesh = mesh
@@ -62,6 +66,15 @@ class Trainer:
         )
         self._step_fn = None
         self._ckpt_mgr = None
+
+        from transfusion_tpu.training.metrics import MetricsLogger, ProfilerHook
+
+        self.metrics = MetricsLogger(metrics_path) if metrics_path else None
+        self.profiler = (
+            ProfilerHook(profile_logdir, profile_start_step, profile_num_steps)
+            if profile_logdir
+            else None
+        )
 
     # ------------------------------------------------------------------
 
@@ -141,7 +154,17 @@ class Trainer:
 
         if self._step_fn is None:
             self._step_fn = self._build_step()
-        return self._step_fn(state, packed, rng)
+
+        if self.profiler is not None:
+            self.profiler(int(state.step))
+
+        state, metrics = self._step_fn(state, packed, rng)
+
+        if self.metrics is not None:
+            self.metrics.log(
+                int(state.step), metrics, tokens=int(packed.total_tokens)
+            )
+        return state, metrics
 
     # ------------------------------------------------------------------
     # checkpointing (orbax)
