@@ -24,4 +24,21 @@ if _os.environ.get("TRANSFUSION_JAX_CACHE", "1") != "0":
     except Exception:  # pragma: no cover - older jax without the flags
         pass
 
+# public export surface (parity with reference transfusion_pytorch/__init__.py)
 from transfusion_tpu.utils import print_modality_sample  # noqa: F401
+
+
+def __getattr__(name):  # lazy: importing jax/flax stacks only when used
+    if name in ("Transfusion", "LossBreakdown", "TransfusionCore"):
+        from transfusion_tpu.models import transfusion as _m
+
+        return getattr(_m, name)
+    if name == "Transformer":
+        from transfusion_tpu.models.transformer import Transformer
+
+        return Transformer
+    if name == "create_dataloader":
+        from transfusion_tpu.data.dataloader import create_dataloader
+
+        return create_dataloader
+    raise AttributeError(name)

@@ -140,6 +140,8 @@ class Attention(nn.Module):
             k_full = jax.lax.dynamic_update_slice_in_dim(cache["k"], k, idx, axis=2)
             v_full = jax.lax.dynamic_update_slice_in_dim(cache["v"], v, idx, axis=2)
             new_cache = {"k": k_full, "v": v_full, "idx": idx + n}
+            if "mask" in cache:
+                new_cache["mask"] = cache["mask"]
         else:
             k_full, v_full = k, v
             new_cache = None

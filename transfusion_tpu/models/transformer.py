@@ -51,14 +51,35 @@ def make_kv_cache(
     max_len: int,
     dim_head: int,
     dtype=jnp.float32,
+    track_mask: bool = False,
 ):
-    """Preallocated KV ring buffer for `depth` layers."""
+    """Preallocated KV ring buffer for `depth` layers.
+
+    track_mask=True adds an explicit per-slot validity mask Bool[b, max_len]
+    so padded prefills work: the *caller* marks which freshly-written slots
+    are real (update the mask before each forward); without it validity is
+    simply arange(max_len) < idx + n.
+    """
     shape = (depth, batch, heads, max_len, dim_head)
-    return {
+    cache = {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
         "idx": jnp.zeros((), jnp.int32),
     }
+    if track_mask:
+        cache["mask"] = jnp.zeros((batch, max_len), bool)
+    return cache
+
+
+def cache_mark_valid(cache: dict, new_valid):
+    """Mark the next chunk's slots valid: new_valid Bool[b, L] is written at
+    the current idx. Call before the forward that writes those slots."""
+    if "mask" not in cache:
+        return cache
+    mask = jax.lax.dynamic_update_slice(
+        cache["mask"], new_valid, (jnp.zeros((), jnp.int32), cache["idx"])
+    )
+    return {**cache, "mask": mask}
 
 
 class Transformer(nn.Module):
@@ -87,8 +108,17 @@ class Transformer(nn.Module):
             kv_len = cache["k"].shape[-2]
             idx = cache["idx"]
             kv_pos = jnp.arange(kv_len)
-            valid = kv_pos[None, :] < (idx + n)  # [1, kv]
-            masks.append(valid[None, None, :, :].repeat(n, axis=2))
+            if cache.get("mask") is not None:
+                valid = cache["mask"]  # [b, kv] — caller keeps it current
+                masks.append(
+                    jnp.broadcast_to(
+                        valid[:, None, None, :],
+                        (valid.shape[0], 1, n, kv_len),
+                    )
+                )
+            else:
+                valid = kv_pos[None, :] < (idx + n)  # [1, kv]
+                masks.append(valid[None, None, :, :].repeat(n, axis=2))
             if causal:
                 q_pos = idx + jnp.arange(n)
                 masks.append((q_pos[:, None] >= kv_pos[None, :])[None, None])
@@ -239,6 +269,8 @@ class Transformer(nn.Module):
                     "v": cache["v"][ind],
                     "idx": cache["idx"],
                 }
+                if "mask" in cache:
+                    layer_cache["mask"] = cache["mask"]
 
             branch, s_mixed = hc_attn(s)
             attn_out, attn_values, layer_new_cache = attn_wrapped(
@@ -278,5 +310,7 @@ class Transformer(nn.Module):
                 "v": jnp.stack(new_v),
                 "idx": new_idx,
             }
+            if "mask" in cache:
+                new_cache["mask"] = cache["mask"]
 
         return out, new_cache

@@ -77,6 +77,7 @@ from transfusion_tpu.utils.helpers import (
     decode_chars,
     default,
     exists,
+    round_up_to_multiple,
     tokens_since_rightmost_id,
 )
 
@@ -282,6 +283,57 @@ class TransfusionCore(nn.Module):
             pred_flows.append(self.seq_to_latent(out_rows, g.modality_type, g.seq_shape))
 
         return logits, embed, pred_flows, group_rows, new_cache
+
+    # -- cached decode steps (sampling fast path) ---------------------------
+
+    def decode_text_step(self, tok, rotary_pos, cache):
+        """One cached text-decoding step. tok: Int[b, L] (usually L=1).
+
+        The reference disables structural masking during cached decode
+        (transfusion.py:938-939); validity comes from the cache mask."""
+        b, L = tok.shape
+        x = self.text_embed(jnp.where(tok < 0, 0, tok)).astype(self.dtype)
+        times_tok = jnp.zeros((b, L))
+        embed, new_cache = self.transformer(
+            x,
+            times=times_tok,
+            rotary_pos=rotary_pos,
+            cache=cache,
+            is_any_modality=False,
+        )
+        return self.to_text_logits(embed), new_cache
+
+    def decode_modality_rows(
+        self, latents, t, rotary_pos, cache, modality_type: int,
+        write_time: float | None = None,
+    ):
+        """Cached forward of one modality's rows (the ODE tail).
+
+        latents: Float[b, *latent_shape, d]; t: scalar time for conditioning
+        and x-pred conversion. Returns (pred_flow_latents, new_cache)."""
+        rows, seq_shape = self.latent_to_seq(latents, modality_type)
+        b, L, _ = rows.shape
+
+        in_rows = rows
+        pos = self.axial_pos_emb(modality_type, seq_shape)
+        if pos is not None:
+            in_rows = in_rows + pos[None]
+
+        cond_t = t if write_time is None else write_time
+        times_tok = jnp.full((b, L), cond_t)
+        embed, new_cache = self.transformer(
+            in_rows.astype(self.dtype),
+            times=times_tok,
+            rotary_pos=rotary_pos,
+            cache=cache,
+            is_any_modality=True,
+        )
+        out_rows = embed
+        if self.model_output_clean:
+            out_rows = model_output_to_flow(
+                out_rows, rows, jnp.full((b,), t), self.eps
+            )
+        return self.seq_to_latent(out_rows, modality_type, seq_shape), new_cache
 
     # -- text-only path ------------------------------------------------------
 
@@ -519,6 +571,35 @@ class Transfusion:
         self.params = None  # optional stateful convenience
         self._seq_shape_cache: dict = {}
         self._jit_cache: dict = {}
+
+    # ------------------------------------------------------------------
+    # accessors (reference get_modality_info :1512-1558)
+    # ------------------------------------------------------------------
+
+    def get_modality_info(self, modality_type: Optional[int] = None) -> dict:
+        i = default(modality_type, 0)
+        mc = self.modalities[i]
+        return dict(
+            modality_type=i,
+            dim_latent=mc.dim_latent,
+            channel_first_latent=mc.channel_first_latent,
+            add_pos_emb=mc.add_pos_emb,
+            num_dim=mc.num_dim,
+            default_shape=mc.default_shape,
+            to_shape_fn=mc.to_shape_fn,
+            som_id=self.som_ids[i],
+            eom_id=self.eom_ids[i],
+            encoder=self.encoders[i],
+            decoder=self.decoders[i],
+        )
+
+    def get_all_modality_info(self) -> list[dict]:
+        return [self.get_modality_info(i) for i in range(self.num_modalities)]
+
+    def get_modality_shape(self, modality, modality_type: Optional[int] = None):
+        mc = self.modalities[default(modality_type, 0)]
+        arr = np.asarray(modality)
+        return tuple(to_channel_last(arr, mc.channel_first_latent).shape[:-1])
 
     # ------------------------------------------------------------------
     # parameters
@@ -1265,8 +1346,8 @@ class Transfusion:
         max_length: int = 2048,
         text_temperature: float = 1.5,
         text_min_p: float = 0.1,
-        cache_kv: bool = False,  # accepted for API parity; decode is
-        # currently full-recompute per step (correct; cache fast-path TODO)
+        cache_kv: bool = False,  # KV-cached fast path: prefill once, then
+        # per-token text decode + tail-only ODE steps (_sample_cached)
         fixed_modality_shape: Optional[tuple] = None,
         init_modality_noise=None,
         modality_steps: int = 16,
@@ -1322,6 +1403,16 @@ class Transfusion:
         from transfusion_tpu.utils.helpers import concat_contiguous_text
 
         sample_items = concat_contiguous_text(sample_items)
+
+        if cache_kv:
+            sample_items = self._sample_cached(
+                params, sample_items, rng, max_length, text_temperature,
+                text_min_p, fixed_modality_shape, init_modality_noise,
+                modality_steps, cfg_scale,
+            )
+            if return_unprocessed_modalities:
+                return sample_items
+            return self.decode_modalities(sample_items)
 
         num_past_modalities = sum(1 for it in sample_items if isinstance(it, tuple))
         curr_length = 0
@@ -1474,6 +1565,278 @@ class Transfusion:
             return sample_items
 
         return self.decode_modalities(sample_items)
+
+    # ------------------------------------------------------------------
+    # cached sampling fast path (cache_kv=True)
+    # ------------------------------------------------------------------
+
+    def _prefill_impl(self, params, packed, *, cap):
+        from transfusion_tpu.models.transformer import make_kv_cache
+
+        b = packed.text.shape[0]
+        depth = self.transformer_cfg["depth"]
+        heads = self.transformer_cfg.get("heads", 8)
+        dim_head = self.transformer_cfg.get("dim_head", 64)
+        cache = make_kv_cache(
+            depth, b, heads, cap, dim_head, dtype=self.dtype, track_mask=True
+        )
+        cache["mask"] = jnp.arange(cap)[None, :] < packed.lengths[:, None]
+        m = packed.spans.shape[1]
+        times = jnp.ones((b, m))
+        logits, _, _, _, new_cache = self.core.apply(
+            params, packed, times, cache=cache, method="joint"
+        )
+        last = logits[jnp.arange(b), packed.lengths - 1]
+        return last, new_cache
+
+    def _decode_text_impl(self, params, cache, tok, pos, rng, *, temperature, min_p):
+        from transfusion_tpu.models.transformer import cache_mark_valid
+
+        cache = cache_mark_valid(cache, jnp.ones((tok.shape[0], 1), bool))
+        logits, cache = self.core.apply(
+            params, tok, pos, cache, method="decode_text_step"
+        )
+        last = logits[0, -1].astype(jnp.float32)
+        filtered = min_p_filter(last, min_p)
+        if temperature == 0.0:
+            tok_next = jnp.argmax(filtered)
+        else:
+            tok_next = jax.random.categorical(rng, filtered / temperature)
+        return tok_next, last, cache
+
+    def _ode_cached_impl(
+        self, params, cond_cache, uncond_cache, noise, p0, cfg_scale,
+        *, modality_type, L, steps, use_cfg,
+    ):
+        from transfusion_tpu.models.transformer import cache_mark_valid
+
+        rotary = jnp.full((1, L), p0)
+        valid = jnp.ones((1, L), bool)
+
+        def flow(t, y):
+            cc = cache_mark_valid(cond_cache, valid)
+            f_c, _ = self.core.apply(
+                params, y[None], t, rotary, cc, modality_type,
+                method="decode_modality_rows",
+            )
+            if not use_cfg:
+                return f_c[0]
+            uc = cache_mark_valid(uncond_cache, valid)
+            f_u, _ = self.core.apply(
+                params, y[None], t, rotary, uc, modality_type,
+                method="decode_modality_rows",
+            )
+            return (f_u + cfg_scale * (f_c - f_u))[0]
+
+        grid = jnp.linspace(0.0, 1.0, steps)
+        return odeint(flow, noise, grid, method=self.odeint_method)
+
+    def _append_modality_impl(self, params, cache, y, p0, *, modality_type, L):
+        from transfusion_tpu.models.transformer import cache_mark_valid
+
+        cache = cache_mark_valid(cache, jnp.ones((1, L), bool))
+        rotary = jnp.full((1, L), p0)
+        _, cache = self.core.apply(
+            params, y[None], 1.0, rotary, cache, modality_type,
+            method="decode_modality_rows",
+        )
+        return cache
+
+    def _sample_cached(
+        self, params, sample_items, rng, max_length, text_temperature,
+        text_min_p, fixed_modality_shape, init_modality_noise, modality_steps,
+        cfg_scale,
+    ):
+        """KV-cached sampling loop: prefill once, then per-token text decode
+        and tail-only ODE steps. Functionally equivalent to the uncached
+        path; O(history) work is paid once instead of per step/token."""
+        use_cfg = cfg_scale != 1.0
+
+        def seq_stats(items):
+            tok_count, collapse = 0, 0
+            for it in items:
+                if isinstance(it, tuple):
+                    mc = self.modalities[it[0]]
+                    lat = to_channel_last(
+                        np.asarray(it[1]), mc.channel_first_latent
+                    )
+                    L = int(math.prod(self.seq_shape_for(it[0], lat.shape[:-1])))
+                    tok_count += L
+                    collapse += L - 1
+                else:
+                    tok_count += len(it)
+            return tok_count, collapse
+
+        tok_count, collapse = seq_stats(sample_items)
+        cap = int(
+            round_up_to_multiple(tok_count + max_length + 256 + 2, 128)
+        )
+
+        def prefill(items, this_cap):
+            packed = self.pack([items], wrap_sos_eos=False, add_meta=False)
+            fn = self._get_jit(
+                "sample_prefill", self._prefill_impl, static_argnames=("cap",)
+            )
+            return fn(params, jax.tree.map(jnp.asarray, packed), cap=this_cap)
+
+        last_logits, cache = prefill(sample_items, cap)
+        slots_used = self.pack(
+            [sample_items], wrap_sos_eos=False, add_meta=False
+        ).seq_len  # device cache idx after prefill
+
+        curr_length = 0
+        pending_tok: Optional[int] = None  # sampled but not yet in the cache
+        is_decoding_text = [True]
+        curr = {"mid": None, "shape": None}
+
+        def transition():
+            last = sample_items[-1]
+            if isinstance(last, tuple) or len(last) == 0:
+                return
+            tok = int(last[-1])
+            if tok not in self.som_ids:
+                return
+            curr["mid"] = self.som_ids.index(tok)
+            if fixed_modality_shape is not None:
+                curr["shape"] = fixed_modality_shape
+            else:
+                curr["shape"] = self._parse_modality_shape(last, curr["mid"])
+            is_decoding_text[0] = False
+
+        def stream_pending(tok_to_stream, key):
+            """Write the pending token into the cache; returns next-token
+            sample + logits."""
+            nonlocal cache, tok_count, slots_used
+            pos = tok_count - collapse
+            fn = self._get_jit(
+                "sample_decode_text", self._decode_text_impl,
+                static_argnames=("temperature", "min_p"),
+            )
+            tok_arr, logits, cache = fn(
+                params, cache,
+                jnp.asarray([[tok_to_stream]], jnp.int32),
+                jnp.asarray([[pos]], jnp.int32),
+                key,
+                temperature=float(text_temperature),
+                min_p=float(text_min_p),
+            )
+            tok_count += 1
+            slots_used += 1
+            return int(tok_arr), logits
+
+        transition()
+
+        while curr_length <= max_length:
+            if is_decoding_text[0]:
+                rng, key = jax.random.split(rng)
+                if pending_tok is None:
+                    filtered = min_p_filter(
+                        jnp.asarray(last_logits)[0].astype(jnp.float32),
+                        text_min_p,
+                    )
+                    if text_temperature == 0.0:
+                        tok = int(jnp.argmax(filtered))
+                    else:
+                        tok = int(
+                            jax.random.categorical(
+                                key, filtered / text_temperature
+                            )
+                        )
+                else:
+                    tok, _ = stream_pending(pending_tok, key)
+                pending_tok = tok
+
+                last = sample_items[-1]
+                if isinstance(last, tuple):
+                    sample_items.append(np.asarray([tok], np.int32))
+                else:
+                    sample_items[-1] = np.concatenate(
+                        [last, np.asarray([tok], np.int32)]
+                    )
+                curr_length += 1
+                if tok == self.eos_id:
+                    break
+                transition()
+            else:
+                mid, spatial = curr["mid"], tuple(curr["shape"])
+                mc = self.modalities[mid]
+                seq_shape = self.seq_shape_for(mid, spatial)
+                L = int(math.prod(seq_shape))
+
+                if pending_tok is not None:
+                    rng, key = jax.random.split(rng)
+                    stream_pending(pending_tok, key)
+                    pending_tok = None
+
+                if slots_used + L + 2 > cap:
+                    # capacity exhausted: rebuild the cache at a larger size
+                    cap = int(round_up_to_multiple(slots_used + L + 256, 128))
+                    last_logits, cache = prefill(sample_items, cap)
+                    slots_used = self.pack(
+                        [sample_items], wrap_sos_eos=False, add_meta=False
+                    ).seq_len
+
+                p0 = tok_count - collapse
+
+                if init_modality_noise is not None:
+                    flat = np.asarray(init_modality_noise)[
+                        : int(math.prod(spatial)), : mc.dim_latent
+                    ]
+                    noise = jnp.asarray(flat).reshape(*spatial, mc.dim_latent)
+                else:
+                    rng, key = jax.random.split(rng)
+                    noise = jax.random.normal(key, (*spatial, mc.dim_latent))
+
+                uncond_cache = None
+                if use_cfg:
+                    uncond_items = [
+                        np.where(np.asarray(it) >= 0, self.null_text_id, it)
+                        if not isinstance(it, tuple)
+                        else it
+                        for it in sample_items
+                    ]
+                    u_tok, u_col = seq_stats(uncond_items)
+                    cap_u = int(round_up_to_multiple(u_tok + L + 2, 128))
+                    _, uncond_cache = prefill(uncond_items, cap_u)
+
+                fn = self._get_jit(
+                    "sample_ode_cached", self._ode_cached_impl,
+                    static_argnames=("modality_type", "L", "steps", "use_cfg"),
+                )
+                sampled = fn(
+                    params, cache, uncond_cache, noise,
+                    jnp.int32(p0), jnp.float32(cfg_scale),
+                    modality_type=mid, L=L, steps=int(modality_steps),
+                    use_cfg=use_cfg,
+                )
+
+                fn = self._get_jit(
+                    "sample_append_mod", self._append_modality_impl,
+                    static_argnames=("modality_type", "L"),
+                )
+                cache = fn(
+                    params, cache, sampled, jnp.int32(p0),
+                    modality_type=mid, L=L,
+                )
+
+                sample_items.append(
+                    (mid, to_user_layout(
+                        np.asarray(sampled), mc.channel_first_latent
+                    ))
+                )
+                sample_items.append(
+                    np.asarray([self.eom_ids[mid]], np.int32)
+                )
+                tok_count += L
+                collapse += L - 1
+                slots_used += L
+                curr_length += L
+                pending_tok = self.eom_ids[mid]  # streamed by the next text step
+                curr["mid"] = None
+                curr["shape"] = None
+                is_decoding_text[0] = True
+
+        return sample_items
 
     # ------------------------------------------------------------------
     # EMA (reference create_ema :1604-1620)
