@@ -3,7 +3,7 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Workload (matches bench_baseline_torch.py shape-for-shape): batch 16 samples,
+Workload (matches bench_baseline_torch.py shape-for-shape): batch 128 samples,
 each [32 text][14x14x32 latent modality][8 text]; transformer dim 384 /
 depth 8 / heads 8x64 — the enwik8-scale config of the reference
 (train_text_only.py) with an MNIST-scale modality interleaved. Full training
@@ -52,7 +52,7 @@ def main():
             (0, rng.standard_normal((14, 14, 32)).astype(np.float32)),
             rng.integers(0, 256, 8).astype(np.int32),
         ]
-        for _ in range(16)
+        for _ in range(128)
     ]
     packed = model.pack(batch)
     tokens_per_step = int(packed.total_tokens)

@@ -3,23 +3,26 @@
 Replaces the reference's flex_attention path (torch CUDA/Triton,
 reference transfusion.py:74-81, 981-989) with a TPU Mosaic kernel:
 
-  * online-softmax flash attention (O(n) memory — the O(n^2) bool mask of
-    the reference's naive path is never materialized in HBM);
+  * online-softmax flash attention (no O(n^2) mask or score matrix in HBM);
   * the mask is evaluated *inside* the kernel from the span metadata
     Int[b, m, 3] held in SMEM via scalar prefetch:
         allowed(i,j) = causal(i,j) | any_m[(i >= off_m) & (j < off_m+len_m)]
     (semantics of reference naive_attn_mask :496-513 — the source of truth,
     tested against `spans_to_attn_mask`);
   * tanh softcap fused on the logits (reference :995);
-  * fully-masked (q-block, kv-block) tiles skip the matmul work via
-    predication (block-level mask summarization from the spans).
+  * work skipping at block granularity: the KV loop for each query block
+    runs only up to the last block visible through causality or a span
+    rectangle, fully-masked tiles are predicated off, and fully-visible
+    tiles skip mask evaluation.
 
-Forward-only Pallas; gradients take the dense path via custom_vjp
-(flash backward kernel is the planned follow-up — training currently
-defaults to the dense implementation anyway).
+Layout: grid (b, h, nq); K/V for the whole row stay resident in VMEM across
+query blocks (their index map is constant in the innermost grid dim, so
+Mosaic elides the re-copy); softmax state (m, l, acc) is carried through a
+single fori_loop — no cross-grid scratch.
 
-Grid: (b, h, n/BQ, n/BK), kv innermost; VMEM scratch accumulators persist
-across the kv dimension per (b, h, q-block).
+Forward-only Pallas; gradients take the dense path via custom_vjp (a flash
+backward kernel is the planned follow-up — training currently defaults to
+the dense implementation anyway).
 """
 
 from __future__ import annotations
@@ -31,78 +34,68 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BQ = 128
-BK = 128
+BQ = 256
+BK = 512
 NEG_INF = -1e30
 
 
 def _kernel(
-    # scalar prefetch
-    spans_ref,  # i32[b, m, 3] in SMEM
-    # inputs
+    spans_ref,  # i32[b, m, 3] scalar-prefetch (SMEM)
     q_ref,  # [1, 1, BQ, D]
-    k_ref,  # [1, 1, BK, D]
-    v_ref,  # [1, 1, BK, D]
-    # outputs
+    k_ref,  # [1, 1, n, D]
+    v_ref,  # [1, 1, n, D]
     o_ref,  # [1, 1, BQ, D]
-    # scratch
-    m_scr,  # [BQ, 1] f32
-    l_scr,  # [BQ, 1] f32
-    acc_scr,  # [BQ, D] f32
     *,
     use_spans: bool,
     softcap: float,
     num_spans: int,
     scale: float,
+    n: int,
+    bq: int,
+    bk: int,
 ):
-    # mask = causal | span rectangles (when use_spans); the transfusion mask
-    # always includes the causal part (reference naive_attn_mask :496-513)
     b = pl.program_id(0)
     iq = pl.program_id(2)
-    ik = pl.program_id(3)
-    nk = pl.num_programs(3)
 
-    q_start = iq * BQ
-    k_start = ik * BK
+    q_start = iq * bq
+    q_end = q_start + bq - 1
 
-    # ---- block-level mask summary ----
-    blk_any = (q_start + BQ - 1) >= k_start  # any causal interaction
-    blk_full = q_start >= (k_start + BK - 1)  # fully causal-visible
+    q = q_ref[0, 0].astype(jnp.float32) * scale  # [BQ, D]
+
+    # --- KV loop upper bound: causal visibility + span rectangles ---
+    hi_tok = q_end  # last kv token visible causally
     if use_spans:
         for s in range(num_spans):
             off = spans_ref[b, s, 1]
             ln = spans_ref[b, s, 2]
-            has = ln > 0
-            rect_any = has & ((q_start + BQ - 1) >= off) & (k_start < off + ln)
-            rect_full = has & (q_start >= off) & ((k_start + BK - 1) < off + ln)
-            blk_any = blk_any | rect_any
-            blk_full = blk_full | rect_full
+            touches = (ln > 0) & (q_end >= off)
+            hi_tok = jnp.maximum(hi_tok, jnp.where(touches, off + ln - 1, 0))
+    hi_tok = jnp.minimum(hi_tok, n - 1)
+    hi = (hi_tok // bk) + 1  # number of kv blocks to visit
 
-    @pl.when(ik == 0)
-    def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
+    rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
 
-    @pl.when(blk_any)
-    def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)  # [BQ, D]
-        k = k_ref[0, 0].astype(jnp.float32)  # [BK, D]
-        v = v_ref[0, 0].astype(jnp.float32)
+    def body(ik, carry):
+        m_prev, l_prev, acc = carry
+        k_start = ik * bk
 
+        k_blk = k_ref[0, 0, pl.ds(k_start, bk), :].astype(jnp.float32)
         s = jax.lax.dot_general(
-            q * scale, k,
-            (((1,), (1,)), ((), ())),
+            q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [BQ, BK]
+        )  # [BQ, bk]
 
         if softcap > 0:
             s = jnp.tanh(s / softcap) * softcap
 
+        # block fully causal-visible?
+        blk_full = q_start >= (k_start + bk - 1)
+
         def masked(s):
-            rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
-            cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
-            allowed = rows >= cols  # causal
+            cols = k_start + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bk), 1
+            )
+            allowed = rows >= cols
             if use_spans:
                 for sp in range(num_spans):
                     off = spans_ref[b, sp, 1]
@@ -114,21 +107,26 @@ def _kernel(
 
         s = jax.lax.cond(blk_full, lambda s: s, masked, s)
 
-        m_prev = m_scr[:]  # [BQ, 1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
 
-        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        v_blk = v_ref[0, 0, pl.ds(k_start, bk), :].astype(jnp.float32)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        m_scr[:] = m_new
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        return m_new, l_new, acc
 
-    @pl.when(ik == nk - 1)
-    def _finalize():
-        l = jnp.maximum(l_scr[:], 1e-30)
-        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+    d = q_ref.shape[-1]
+    init = (
+        jnp.full((bq, 1), NEG_INF, jnp.float32),
+        jnp.zeros((bq, 1), jnp.float32),
+        jnp.zeros((bq, d), jnp.float32),
+    )
+    m_f, l_f, acc = jax.lax.fori_loop(0, hi, body, init)
+    o_ref[0, 0] = (acc / jnp.maximum(l_f, 1e-30)).astype(o_ref.dtype)
 
 
 def _flash_fwd(q, k, v, spans, causal, softcap):
@@ -139,8 +137,8 @@ def _flash_fwd(q, k, v, spans, causal, softcap):
         spans = jnp.zeros((b, 1, 3), jnp.int32)
     m = spans.shape[1]
     scale = d**-0.5
-
-    grid = (b, h, n // BQ, n // BK)
+    bq = _pick_block(n, (BQ, 256, 128, 64, 32, 16, 8))
+    bk = _pick_block(n, (BK, 512, 256, 128, 64, 32, 16, 8))
 
     kernel = functools.partial(
         _kernel,
@@ -148,30 +146,22 @@ def _flash_fwd(q, k, v, spans, causal, softcap):
         softcap=float(softcap),
         num_spans=m,
         scale=scale,
+        n=n,
+        bq=bq,
+        bk=bk,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=grid,
+        grid=(b, h, n // bq),
         in_specs=[
-            pl.BlockSpec(
-                (1, 1, BQ, d), lambda b, h, iq, ik, *_: (b, h, iq, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, BK, d), lambda b, h, iq, ik, *_: (b, h, ik, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, BK, d), lambda b, h, iq, ik, *_: (b, h, ik, 0)
-            ),
+            pl.BlockSpec((1, 1, bq, d), lambda b, h, iq, *_: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, n, d), lambda b, h, iq, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, n, d), lambda b, h, iq, *_: (b, h, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, BQ, d), lambda b, h, iq, ik, *_: (b, h, iq, 0)
+            (1, 1, bq, d), lambda b, h, iq, *_: (b, h, iq, 0)
         ),
-        scratch_shapes=[
-            pltpu.VMEM((BQ, 1), jnp.float32),
-            pltpu.VMEM((BQ, 1), jnp.float32),
-            pltpu.VMEM((BQ, d), jnp.float32),
-        ],
     )
 
     interpret = jax.default_backend() == "cpu"
@@ -211,8 +201,22 @@ def _bwd(causal, softcap, res, g):
 
 flash_attention.defvjp(_fwd, _bwd)
 
+# max sequence such that K+V (f32) stay under ~8 MB of VMEM
+_VMEM_BYTES = 8 * 1024 * 1024
+
+
+def _pick_block(n: int, candidates) -> int:
+    for c in candidates:
+        if c <= n and n % c == 0:
+            return c
+    return n
+
 
 def supported(n: int, d: int) -> bool:
     if jax.default_backend() not in ("tpu", "cpu"):
         return False
-    return n % BQ == 0 and n % BK == 0 and d in (32, 64, 128, 256)
+    if n % 8 != 0:  # tile alignment
+        return False
+    if 2 * n * d * 4 > _VMEM_BYTES:
+        return False
+    return d in (32, 64, 128, 256)
