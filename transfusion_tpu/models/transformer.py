@@ -10,12 +10,16 @@ Parity target: reference transfusion.py:1035-1252 (`Transformer`). Features:
   * preallocated KV ring-buffer cache: prefill and decode use the same code
     path; position validity is an explicit mask (XLA-friendly, no growing
     tensors)
+  * optional per-block gradient checkpointing (`remat=True`) — activations
+    are rematerialized in the backward pass, trading one extra forward for
+    O(depth) activation memory (jax.checkpoint, absent in the reference)
 
 The mask contract replaces the reference's mode flags (ref :1134-1168):
   - no cache: `causal=True` or `spans` builds the structural mask
-  - cache passed: the cache validity mask (arange(N) < idx + n) is always
-    applied; `causal` composes with absolute positions; spans/attn_mask are
-    for prefill (cache idx == 0) where the chunk covers the whole prefix.
+  - cache passed: slot validity (the cache's explicit mask, or
+    arange(N) < idx + n) is always applied; `causal` composes with absolute
+    positions; spans/attn_mask are for prefill where the chunk covers the
+    whole prefix.
 Callers pass only the *tail* tokens when decoding with a cache (the reference
 instead slices internally, ref :1161-1168).
 """
@@ -82,6 +86,123 @@ def cache_mark_valid(cache: dict, new_valid):
     return {**cache, "mask": mask}
 
 
+class TransformerBlock(nn.Module):
+    """One (skip? -> attention -> feedforward) layer over the residual
+    streams. All static configuration lives in attributes so the module can
+    be wrapped with nn.remat; every call argument is an array / dict of
+    arrays / None."""
+
+    dim: int
+    dim_head: int
+    heads: int
+    dropout: float
+    ff_expansion_factor: float
+    attn_softcap: float
+    attn_gate_values: bool
+    attn_laser: bool
+    attn_impl: str
+    streams: int
+    fracs: int
+    layer_index: int  # 0-based layer
+    is_first: bool
+    has_skip: bool
+    modality_only: bool
+    flash_causal: bool
+    deterministic: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        s,  # [streams, b, n, dim]
+        skip,  # like s | None
+        cond,  # [b, n|1, 4*dim] | None
+        mask,  # Bool[b|1, 1, n, kv] | None
+        rope,  # angles | None
+        is_any_modality,  # Bool[b, n] | None
+        value_residual,  # [b, h, n, dh] | None
+        layer_cache,  # dict | None
+        flash_spans,  # Int[b, m, 3] | None
+    ):
+        ind = self.layer_index
+
+        if self.has_skip and skip is not None:
+            residual = s
+            s = (
+                nn.Dense(
+                    self.dim, use_bias=False, dtype=self.dtype,
+                    name=f"skip_proj_{ind}",
+                )(jnp.concatenate([s, skip], axis=-1))
+                + residual
+            )
+
+        attn = Attention(
+            dim=self.dim,
+            dim_head=self.dim_head,
+            heads=self.heads,
+            dropout=self.dropout,
+            softcap_value=self.attn_softcap,
+            gate_values=self.attn_gate_values,
+            laser=self.attn_laser,
+            learned_value_residual_mix=not self.is_first,
+            attn_impl=self.attn_impl,
+            dtype=self.dtype,
+            name=f"attn_{ind}",
+        )
+        ff = FeedForward(
+            dim=self.dim,
+            expansion_factor=self.ff_expansion_factor,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name=f"ff_{ind}",
+        )
+        attn_wrapped = AdaptiveWrapper(
+            fn=attn, dim=self.dim, dim_cond=self.dim * 4, name=f"attn_ada_{ind}"
+        )
+        ff_wrapped = AdaptiveWrapper(
+            fn=ff, dim=self.dim, dim_cond=self.dim * 4, name=f"ff_ada_{ind}"
+        )
+        hc_attn = HyperConnection(
+            dim=self.dim, streams=self.streams, fracs=self.fracs,
+            layer_index=2 * ind, name=f"hc_attn_{ind}",
+        )
+        hc_ff = HyperConnection(
+            dim=self.dim, streams=self.streams, fracs=self.fracs,
+            layer_index=2 * ind + 1, name=f"hc_ff_{ind}",
+        )
+
+        flash_spec = None
+        if flash_spans is not None or self.flash_causal:
+            flash_spec = {"spans": flash_spans, "causal": self.flash_causal}
+
+        adaptive_kwargs = dict(
+            cond=cond,
+            modality_only=self.modality_only,
+            is_any_modality=is_any_modality,
+        )
+
+        branch, s_mixed = hc_attn(s)
+        attn_out, attn_values, new_cache = attn_wrapped(
+            branch,
+            mask=mask,
+            rope=rope,
+            cache=layer_cache,
+            value_residual=value_residual,
+            flash_spec=flash_spec,
+            deterministic=self.deterministic,
+            **adaptive_kwargs,
+        )
+        s = hc_attn(s_mixed, attn_out)
+
+        branch, s_mixed = hc_ff(s)
+        ff_out = ff_wrapped(
+            branch, deterministic=self.deterministic, **adaptive_kwargs
+        )
+        s = hc_ff(s_mixed, ff_out)
+
+        return s, attn_values, new_cache
+
+
 class Transformer(nn.Module):
     dim: int
     depth: int
@@ -98,6 +219,7 @@ class Transformer(nn.Module):
     attn_gate_values: bool = True
     rope_theta: float = 10000.0
     fourier_seed: int = 0
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def _build_mask(self, n, cache, causal, spans, attn_mask, batch):
@@ -172,31 +294,25 @@ class Transformer(nn.Module):
             cond = nn.silu(
                 nn.Dense(self.dim * 4, dtype=self.dtype, name="to_time_cond")(rfe)
             )
-            if times.ndim == 1:
-                cond = cond  # [b, 1, 4d]
-            # times [b, n] -> cond [b, n, 4d]
 
         # --- masks ---------------------------------------------------------
-        flash_spec = None
+        flash_spans = None
+        flash_causal = False
         if use_flash and (spans is not None or causal) and attn_mask is None:
-            flash_spec = {"spans": spans, "causal": causal}
+            flash_spans, flash_causal = spans, causal
             mask = None
         else:
             mask = self._build_mask(n, cache, causal, spans, attn_mask, b)
 
         if is_any_modality is None and spans is not None:
             is_any_modality = spans_to_is_any_modality(n, spans)
+        if isinstance(is_any_modality, bool):
+            is_any_modality = jnp.full((b, n), is_any_modality)
 
         # --- rotary ---------------------------------------------------------
         rope = None
         if rotary_pos is not None:
             rope = rope_angles(rotary_pos, self.dim_head, self.rope_theta)
-
-        adaptive_kwargs = dict(
-            cond=cond,
-            modality_only=modality_only,
-            is_any_modality=is_any_modality,
-        )
 
         # --- layers ----------------------------------------------------------
         streams = self.num_residual_streams
@@ -207,60 +323,18 @@ class Transformer(nn.Module):
         new_k, new_v = [], []
         new_idx = None
 
+        block_cls = TransformerBlock
+        if self.remat and cache is None:
+            block_cls = nn.remat(TransformerBlock, prevent_cse=True)
+
         for ind in range(self.depth):
             layer = ind + 1
-            is_first = ind == 0
 
             if layer <= (self.depth // 2):
                 skips.append(s)
 
-            if ind >= (self.depth / 2) and self.unet_skips:
-                skip = skips.pop()
-                residual = s
-                s = (
-                    nn.Dense(
-                        self.dim, use_bias=False, dtype=self.dtype,
-                        name=f"skip_proj_{ind}",
-                    )(jnp.concatenate([s, skip], axis=-1))
-                    + residual
-                )
-
-            attn = Attention(
-                dim=self.dim,
-                dim_head=self.dim_head,
-                heads=self.heads,
-                dropout=self.dropout,
-                softcap_value=self.attn_softcap,
-                gate_values=self.attn_gate_values,
-                laser=self.attn_laser,
-                learned_value_residual_mix=not is_first,
-                attn_impl=self.attn_impl,
-                dtype=self.dtype,
-                name=f"attn_{ind}",
-            )
-            ff = FeedForward(
-                dim=self.dim,
-                expansion_factor=self.ff_expansion_factor,
-                dropout=self.dropout,
-                dtype=self.dtype,
-                name=f"ff_{ind}",
-            )
-
-            attn_wrapped = AdaptiveWrapper(
-                fn=attn, dim=self.dim, dim_cond=self.dim * 4, name=f"attn_ada_{ind}"
-            )
-            ff_wrapped = AdaptiveWrapper(
-                fn=ff, dim=self.dim, dim_cond=self.dim * 4, name=f"ff_ada_{ind}"
-            )
-
-            hc_attn = HyperConnection(
-                dim=self.dim, streams=streams, fracs=self.num_residual_fracs,
-                layer_index=2 * ind, name=f"hc_attn_{ind}",
-            )
-            hc_ff = HyperConnection(
-                dim=self.dim, streams=streams, fracs=self.num_residual_fracs,
-                layer_index=2 * ind + 1, name=f"hc_ff_{ind}",
-            )
+            has_skip = ind >= (self.depth / 2) and self.unet_skips
+            skip = skips.pop() if has_skip else None
 
             layer_cache = None
             if cache is not None:
@@ -272,16 +346,31 @@ class Transformer(nn.Module):
                 if "mask" in cache:
                     layer_cache["mask"] = cache["mask"]
 
-            branch, s_mixed = hc_attn(s)
-            attn_out, attn_values, layer_new_cache = attn_wrapped(
-                branch,
-                mask=mask,
-                rope=rope,
-                cache=layer_cache,
-                value_residual=value_residual,
-                flash_spec=flash_spec,
+            block = block_cls(
+                dim=self.dim,
+                dim_head=self.dim_head,
+                heads=self.heads,
+                dropout=self.dropout,
+                ff_expansion_factor=self.ff_expansion_factor,
+                attn_softcap=self.attn_softcap,
+                attn_gate_values=self.attn_gate_values,
+                attn_laser=self.attn_laser,
+                attn_impl=self.attn_impl,
+                streams=streams,
+                fracs=self.num_residual_fracs,
+                layer_index=ind,
+                is_first=ind == 0,
+                has_skip=has_skip,
+                modality_only=modality_only,
+                flash_causal=flash_causal,
                 deterministic=deterministic,
-                **adaptive_kwargs,
+                dtype=self.dtype,
+                name=f"block_{ind}",
+            )
+
+            s, attn_values, layer_new_cache = block(
+                s, skip, cond, mask, rope, is_any_modality,
+                value_residual, layer_cache, flash_spans,
             )
             if value_residual is None:
                 value_residual = attn_values
@@ -289,14 +378,6 @@ class Transformer(nn.Module):
                 new_k.append(layer_new_cache["k"])
                 new_v.append(layer_new_cache["v"])
                 new_idx = layer_new_cache["idx"]
-
-            s = hc_attn(s_mixed, attn_out)
-
-            branch, s_mixed = hc_ff(s)
-            ff_out = ff_wrapped(
-                branch, deterministic=deterministic, **adaptive_kwargs
-            )
-            s = hc_ff(s_mixed, ff_out)
 
         x = reduce_stream(s)
         assert len(skips) == 0
