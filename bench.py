@@ -3,7 +3,7 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Workload (matches bench_baseline_torch.py shape-for-shape): batch 128 samples,
+Workload (matches bench_baseline_torch.py shape-for-shape): batch 32 samples,
 each [32 text][14x14x32 latent modality][8 text]; transformer dim 384 /
 depth 8 / heads 8x64 — the enwik8-scale config of the reference
 (train_text_only.py) with an MNIST-scale modality interleaved. Full training
@@ -52,24 +52,25 @@ def main():
             (0, rng.standard_normal((14, 14, 32)).astype(np.float32)),
             rng.integers(0, 256, 8).astype(np.int32),
         ]
-        for _ in range(128)
+        for _ in range(32)
     ]
     packed = model.pack(batch)
     tokens_per_step = int(packed.total_tokens)
 
     key = jax.random.PRNGKey(1)
-    # warmup / compile
+    # warmup / compile; float() forces real completion (on some remote
+    # backends block_until_ready returns at enqueue-ack, not execution)
     for i in range(3):
         key, k = jax.random.split(key)
         state, metrics = trainer.train_step(state, packed, k)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     steps = 30
     t0 = time.perf_counter()
     for i in range(steps):
         key, k = jax.random.split(key)
         state, metrics = trainer.train_step(state, packed, k)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # materialize: the loss depends on every step
     dt = time.perf_counter() - t0
 
     tps = tokens_per_step * steps / dt

@@ -201,8 +201,11 @@ def _bwd(causal, softcap, res, g):
 
 flash_attention.defvjp(_fwd, _bwd)
 
-# max sequence such that K+V (f32) stay under ~8 MB of VMEM
-_VMEM_BYTES = 8 * 1024 * 1024
+# Empirical VMEM ceiling: with double-buffered K/V blocks Mosaic needs
+# ~4x n*d*4 bytes of scoped VMEM; n=4096 @ d=64 fits, n=8192 does not.
+# Longer sequences need chunked HBM->VMEM streaming (double-buffered DMA)
+# in the kernel — planned follow-up.
+_MAX_N_TIMES_D = 4096 * 64
 
 
 def _pick_block(n: int, candidates) -> int:
@@ -217,6 +220,6 @@ def supported(n: int, d: int) -> bool:
         return False
     if n % 8 != 0:  # tile alignment
         return False
-    if 2 * n * d * 4 > _VMEM_BYTES:
+    if n * d > _MAX_N_TIMES_D:
         return False
     return d in (32, 64, 128, 256)
