@@ -220,3 +220,57 @@ def test_concat_contiguous_text():
     out = concat_contiguous_text(sample)
     assert len(out) == 3
     np.testing.assert_array_equal(out[0], [1, 2, 3])
+
+
+def test_hyper_connection_stream1_is_plain_residual():
+    import flax.linen as nn
+
+    from transfusion_tpu.ops.hyper_connections import (
+        HyperConnection,
+        expand_stream,
+        reduce_stream,
+    )
+
+    hc = HyperConnection(dim=8, streams=1, fracs=4, layer_index=3)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 8))
+    s = expand_stream(x, 1)
+    params = hc.init(jax.random.PRNGKey(1), s)
+    branch, mixed = hc.apply(params, s)
+    np.testing.assert_array_equal(np.asarray(branch), np.asarray(x))
+    out = jnp.ones_like(x) * 0.5
+    s2 = hc.apply(params, mixed, out)
+    np.testing.assert_allclose(np.asarray(reduce_stream(s2)), np.asarray(x + 0.5))
+    assert params == {}  # no params in the degenerate case
+
+
+def test_hyper_connection_multi_stream_near_identity_at_init():
+    from transfusion_tpu.ops.hyper_connections import (
+        HyperConnection,
+        expand_stream,
+        reduce_stream,
+    )
+
+    hc = HyperConnection(dim=8, streams=4, fracs=2, layer_index=0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 8))
+    s = expand_stream(x, 4)
+    params = hc.init(jax.random.PRNGKey(1), s)
+    branch, mixed = hc.apply(params, s)
+    # init favors the anchored stream: branch ~ x (all streams identical here)
+    np.testing.assert_allclose(np.asarray(branch), np.asarray(x), atol=1e-5)
+    out = jnp.full_like(x, 2.0)
+    s2 = hc.apply(params, mixed, out)
+    red = reduce_stream(s2)
+    # write is distributed to one stream; mean over 4 streams adds 1/4 * out
+    np.testing.assert_allclose(np.asarray(red), np.asarray(x + 0.5), atol=1e-4)
+
+
+def test_axial_coords():
+    from transfusion_tpu.ops.axial import ContinuousAxialPositionalEmbedding as A
+
+    c = A.coords_for_shape((2, 3), 2)
+    assert c.shape == (6, 2)
+    np.testing.assert_array_equal(np.asarray(c[0]), [0, 0])
+    np.testing.assert_array_equal(np.asarray(c[-1]), [1, 2])
+    # zero-dim and padded
+    assert A.coords_for_shape((), 2).shape == (1, 2)
+    assert A.coords_for_shape((4,), 3).shape == (4, 3)
