@@ -108,3 +108,22 @@ def test_transformer_flash_flag_matches_dense():
     np.testing.assert_allclose(
         np.asarray(out_d), np.asarray(out_f), atol=5e-4
     )
+
+
+def test_gradients_multi_span_and_causal():
+    for spans, causal in [
+        (jnp.array([[[0, 40, 100], [1, 150, 64]]], jnp.int32), False),
+        (None, True),
+    ]:
+        q, k, v = make_qkv(b=1, h=2, n=256)
+
+        def f_flash(q, k, v):
+            return (flash_attention(q, k, v, spans, causal, 50.0) ** 2).sum()
+
+        def f_dense(q, k, v):
+            return (_reference_attention(q, k, v, spans, causal, 50.0) ** 2).sum()
+
+        gf = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+        gd = jax.grad(f_dense, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gd):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
