@@ -1,0 +1,74 @@
+"""Distributed training: DP x FSDP x TP over a device mesh.
+
+No reference equivalent (the reference's only parallelism is HF accelerate
+DDP in two scripts). Auto-factors the available devices into a
+data x fsdp x tensor mesh; run with virtual devices to try locally:
+
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python examples/train_distributed.py --steps 10
+"""
+
+import sys, pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).parent))
+
+import jax
+import numpy as np
+
+from _common import parse_args, train_loop
+from transfusion_tpu.data.dataloader import create_dataloader, cycle
+from transfusion_tpu.models.transfusion import Transfusion
+from transfusion_tpu.parallel import make_mesh
+from transfusion_tpu.training.trainer import Trainer
+
+
+def factor_devices(n):
+    dims = [1, 1, 1]  # data, fsdp, tensor
+    i = 0
+    k = 2
+    while n > 1:
+        while n % k == 0:
+            dims[i % 3] *= k
+            n //= k
+            i += 1
+        k += 1
+    return dims
+
+
+def main():
+    args = parse_args(default_steps=20, default_sample_every=10**9,
+                      batch_size=8)
+
+    n_dev = len(jax.devices())
+    data, fsdp, tensor = factor_devices(n_dev)
+    mesh = make_mesh(data=data, fsdp=fsdp, tensor=tensor)
+    print(f"devices={n_dev} mesh: data={data} fsdp={fsdp} tensor={tensor}")
+
+    model = Transfusion(
+        num_text_tokens=256,
+        dim_latent=32,
+        modality_default_shape=(8, 8),
+        transformer=dict(dim=256, depth=4, dim_head=64, heads=8),
+        pad_multiple=64,
+    )
+    trainer = Trainer(model, learning_rate=3e-4, mesh=mesh,
+                      metrics_path="results/distributed_metrics.jsonl")
+    state = trainer.init_state(jax.random.PRNGKey(args.seed))
+
+    rng = np.random.default_rng(args.seed)
+    dataset = [
+        (
+            rng.integers(0, 256, 16).astype(np.int32),
+            rng.standard_normal((8, 8, 32)).astype(np.float32),
+        )
+        for _ in range(256)
+    ]
+    # batch size must be divisible by the data axis
+    bs = max(args.batch_size, data) // data * data
+    iter_dl = cycle(create_dataloader(dataset, batch_size=bs, shuffle=True))
+
+    pathlib.Path("results").mkdir(exist_ok=True)
+    train_loop(trainer, state, iter_dl, args.steps, jax.random.PRNGKey(1))
+
+
+if __name__ == "__main__":
+    main()

@@ -1846,3 +1846,9 @@ class Transfusion:
         from transfusion_tpu.training.ema import EMA
 
         return EMA(self, default(params, self.params), beta=beta, **kwargs)
+
+    def create_dataloader(self, dataset, **kwargs):
+        """List-collate dataloader (reference create_dataloader :1597-1602)."""
+        from transfusion_tpu.data.dataloader import create_dataloader
+
+        return create_dataloader(dataset, **kwargs)

@@ -1,0 +1,108 @@
+"""Context (sequence) parallelism: attention sharded over the sequence axis.
+
+SURVEY.md §2.5/§5.7: the reference has no long-context story at all (dense
+O(n^2) masks, ~1k-token sequences). Here the sequence dimension can be
+sharded over a 'context' mesh axis:
+
+  * every chip holds its slice of the queries (and of K/V);
+  * K/V are all-gathered over the context axis (one ICI collective);
+  * the transfusion mask is evaluated against *global* row indices, so
+    causality and modality rectangles are exact across shards.
+
+This is the all-gather variant (memory O(n) per chip for K/V, compute
+perfectly sharded). A bandwidth-optimal ring schedule (pltpu
+make_async_remote_copy, overlapping compute with neighbor transfers — the
+span mask is ring-compatible since spans are contiguous) is the planned
+upgrade; the call signature will not change.
+
+Works under shard_map on any mesh with a 'context' axis; tested on the
+8-device CPU mesh against the dense oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from transfusion_tpu.ops.norms import softclamp, max_neg_value
+
+
+def _offset_attention(q, k, v, spans, causal, softcap, row_offset):
+    """Dense attention where q rows are global positions row_offset + i.
+
+    q: [b, h, nl, d]; k, v: [b, h, n, d]; spans: Int[b, m, 3] | None.
+    """
+    b, h, nl, d = q.shape
+    n = k.shape[2]
+    scale = d**-0.5
+
+    sim = jnp.einsum(
+        "bhid,bhjd->bhij", q * scale, k, preferred_element_type=jnp.float32
+    )
+    if softcap > 0:
+        sim = softclamp(sim, softcap)
+
+    rows = row_offset + jnp.arange(nl)[:, None]  # [nl, 1] global
+    cols = jnp.arange(n)[None, :]
+
+    allowed = None
+    if causal or spans is not None:
+        allowed = rows >= cols  # [nl, n]
+        allowed = jnp.broadcast_to(allowed[None], (b, nl, n))
+    if spans is not None:
+        offs = spans[..., 1]  # [b, m]
+        lens = spans[..., 2]
+        rect = (
+            (rows[None, None] >= offs[:, :, None, None])
+            & (cols[None, None] < (offs + lens)[:, :, None, None])
+        ).any(axis=1)
+        allowed = allowed | rect
+
+    if allowed is not None:
+        sim = jnp.where(allowed[:, None], sim, max_neg_value(sim.dtype))
+
+    attn = jax.nn.softmax(sim, axis=-1)
+    return jnp.einsum(
+        "bhij,bhjd->bhid", attn.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+
+
+def context_parallel_attention(
+    q, k, v, spans=None, causal=False, softcap: float = 50.0,
+    mesh: Mesh = None, axis: str = "context",
+):
+    """Transfusion attention with q/k/v sharded over `axis` on `mesh`.
+
+    q, k, v: global Float[b, h, n, d] (n divisible by the axis size);
+    spans replicated. Returns the global output, sharded the same way.
+    """
+    assert mesh is not None
+
+    def body(q_loc, k_loc, v_loc, spans_loc):
+        size = jax.lax.axis_size(axis)
+        idx = jax.lax.axis_index(axis)
+        nl = q_loc.shape[2]
+
+        k_full = jax.lax.all_gather(k_loc, axis, axis=2, tiled=True)
+        v_full = jax.lax.all_gather(v_loc, axis, axis=2, tiled=True)
+
+        return _offset_attention(
+            q_loc, k_full, v_full, spans_loc, causal, softcap, idx * nl
+        )
+
+    seq_spec = P(None, None, axis, None)
+    span_spec = P() if spans is not None else None
+
+    from jax import shard_map
+
+    shmap = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(seq_spec, seq_spec, seq_spec, span_spec),
+        out_specs=seq_spec,
+    )
+    return shmap(q, k, v, spans)
