@@ -183,3 +183,48 @@ def test_native_assembly_matches_numpy():
         np.testing.assert_array_equal(a.cfg_mask, b.cfg_mask)
         np.testing.assert_array_equal(a.spans, b.spans)
         np.testing.assert_array_equal(a.lengths, b.lengths)
+
+
+def test_packer_fuzz_invariants():
+    """Random ragged batches: structural invariants always hold."""
+    rng = np.random.default_rng(7)
+    spec = make_spec()
+
+    for trial in range(20):
+        samples = []
+        for _ in range(rng.integers(1, 5)):
+            items = []
+            for _ in range(rng.integers(1, 6)):
+                if rng.random() < 0.5:
+                    items.append(rng.integers(0, 10, rng.integers(1, 20)).astype(np.int32))
+                else:
+                    t = int(rng.integers(0, 2))
+                    shape = tuple(rng.integers(1, 5, rng.integers(0, 3)))
+                    items.append((t, rng.standard_normal((*shape, 4)).astype(np.float32)))
+            samples.append(items)
+
+        packed = pack_samples(samples, spec, pad_multiple=8)
+        b, n = packed.text.shape
+
+        assert (packed.lengths <= n).all()
+        # spans inside true lengths; interiors are -1; cfg mask off in spans
+        for bi in range(b):
+            for t, off, ln in packed.spans[bi]:
+                if ln <= 0:
+                    continue
+                assert off + ln <= packed.lengths[bi]
+                assert (packed.text[bi, off : off + ln] == -1).all()
+                assert not packed.cfg_mask[bi, off : off + ln].any()
+        # every instance row maps back into its span interior
+        n_inst = sum(
+            1 for s in samples for it in s
+            if isinstance(it, tuple) or (
+                hasattr(it, "dtype") and np.issubdtype(np.asarray(it).dtype, np.floating))
+        )
+        assert sum(g.k for g in packed.groups) == n_inst
+        for g in packed.groups:
+            for r in range(g.k):
+                bi, off = int(g.batch_idx[r]), int(g.offsets[r])
+                t, o, ln = packed.spans[bi, int(g.span_rows[r])]
+                assert o == off and ln == g.seq_len and t == g.modality_type
+        assert int(packed.total_tokens) == int(packed.lengths.sum())

@@ -320,3 +320,30 @@ def test_generate_text_only():
     )
     assert out.shape == (2, 8)
     assert (np.asarray(out) >= 0).all() and (np.asarray(out) < 32).all()
+
+
+def test_bf16_compute_dtype():
+    model = Transfusion(
+        num_text_tokens=8,
+        dim_latent=16,
+        modality_default_shape=(4,),
+        transformer=tiny_transformer(),
+        pad_multiple=16,
+        dtype=jnp.bfloat16,
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+    # params stay f32
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(params))
+    batch = [[randint(6), np.random.randn(4, 16).astype(np.float32)]]
+    l16 = model.loss(params, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(l16))
+
+    model32 = Transfusion(
+        num_text_tokens=8,
+        dim_latent=16,
+        modality_default_shape=(4,),
+        transformer=tiny_transformer(),
+        pad_multiple=16,
+    )
+    l32 = model32.loss(params, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(l16), float(l32), rtol=0.1)
