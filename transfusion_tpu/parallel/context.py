@@ -71,6 +71,115 @@ def _offset_attention(q, k, v, spans, causal, softcap, row_offset):
     ).astype(q.dtype)
 
 
+def _online_block_update(state, q, k_chunk, v_chunk, spans, causal, softcap,
+                         row_offset, col_offset):
+    """One online-softmax update of (m, l, acc) against a KV chunk whose
+    global column range starts at col_offset."""
+    m_prev, l_prev, acc = state
+    b, h, nl, d = q.shape
+    nc = k_chunk.shape[2]
+    scale = d**-0.5
+
+    s = jnp.einsum(
+        "bhid,bhjd->bhij", q * scale, k_chunk,
+        preferred_element_type=jnp.float32,
+    )
+    if softcap > 0:
+        s = softclamp(s, softcap)
+
+    rows = row_offset + jnp.arange(nl)[:, None]
+    cols = col_offset + jnp.arange(nc)[None, :]
+
+    allowed = None
+    if causal or spans is not None:
+        allowed = jnp.broadcast_to((rows >= cols)[None], (b, nl, nc))
+    if spans is not None:
+        offs, lens = spans[..., 1], spans[..., 2]
+        rect = (
+            (rows[None, None] >= offs[:, :, None, None])
+            & (cols[None, None] < (offs + lens)[:, :, None, None])
+        ).any(axis=1)
+        allowed = allowed | rect
+    if allowed is not None:
+        s = jnp.where(allowed[:, None], s, NEG_INF_RING)
+
+    m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + p.sum(axis=-1, keepdims=True)
+    acc_new = acc * alpha + jnp.einsum(
+        "bhij,bhjd->bhid", p, v_chunk.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return m_new, l_new, acc_new
+
+
+NEG_INF_RING = -1e30
+
+
+def ring_attention(
+    q, k, v, spans=None, causal=False, softcap: float = 50.0,
+    mesh: Mesh = None, axis: str = "context",
+):
+    """Ring-scheduled context-parallel transfusion attention.
+
+    Unlike the all-gather variant, each chip only ever holds ONE KV chunk
+    (O(n/c) memory): chunks rotate around the ring via `ppermute` while the
+    online-softmax state (m, l, acc) accumulates locally; XLA overlaps the
+    permute with the block computation. The span mask is evaluated at global
+    (row, col) indices so causality and modality rectangles are exact.
+    """
+    assert mesh is not None
+
+    def body(q_loc, k_loc, v_loc, spans_loc):
+        size = jax.lax.axis_size(axis)
+        idx = jax.lax.axis_index(axis)
+        b, h, nl, d = q_loc.shape
+        row_off = idx * nl
+
+        perm = [(i, (i + 1) % size) for i in range(size)]
+
+        def step(i, carry):
+            state, k_c, v_c = carry
+            # chunk currently held came from shard (idx - i) mod size
+            src = (idx - i) % size
+            state = _online_block_update(
+                state, q_loc, k_c, v_c, spans_loc, causal, softcap,
+                row_off, src * nl,
+            )
+            k_c = jax.lax.ppermute(k_c, axis, perm)
+            v_c = jax.lax.ppermute(v_c, axis, perm)
+            return state, k_c, v_c
+
+        init = (
+            jnp.full((b, h, nl, 1), NEG_INF_RING, jnp.float32),
+            jnp.zeros((b, h, nl, 1), jnp.float32),
+            jnp.zeros((b, h, nl, d), jnp.float32),
+        )
+        # the accumulators become device-varying after the first update;
+        # mark the (constant) init values as varying too so the fori_loop
+        # carry types match under shard_map's axis tracking
+        init = jax.tree.map(
+            lambda x: jax.lax.pcast(x, (axis,), to="varying"), init
+        )
+        (m, l, acc), _, _ = jax.lax.fori_loop(
+            0, size, step, (init, k_loc, v_loc)
+        )
+        return (acc / jnp.maximum(l, 1e-30)).astype(q_loc.dtype)
+
+    seq_spec = P(None, None, axis, None)
+    span_spec = P() if spans is not None else None
+
+    from jax import shard_map
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(seq_spec, seq_spec, seq_spec, span_spec),
+        out_specs=seq_spec,
+    )(q, k, v, spans)
+
+
 def context_parallel_attention(
     q, k, v, spans=None, causal=False, softcap: float = 50.0,
     mesh: Mesh = None, axis: str = "context",
