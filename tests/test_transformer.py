@@ -165,3 +165,32 @@ def test_remat_matches_no_remat():
     gb = jax.grad(lambda p: b.apply(p, x, **kw)[0].sum())(params)
     for la, lb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-5)
+
+
+def test_per_instance_conditioning_matches_per_token():
+    """times_inst (per-instance adaLN) must equal the per-token path exactly."""
+    from transfusion_tpu.ops.spans import spans_to_token_times
+
+    model = make_model(depth=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 32))
+    spans = jnp.array([[[0, 2, 4], [1, 9, 3]], [[0, 5, 6], [0, 0, 0]]])
+    times_inst = jnp.array([[0.3, 0.8], [0.6, 0.0]])
+    times_tok = spans_to_token_times(16, spans, times_inst)
+
+    kw_tok = dict(spans=spans, times=times_tok)
+    kw_inst = dict(spans=spans, times_inst=times_inst)
+    params = model.init(jax.random.PRNGKey(1), x, **kw_inst)
+
+    # jitter the zero-init film/ada weights so conditioning is active
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, p: p + 0.03
+        if any(s in str(k) for k in path for s in ("to_film", "to_ada_ln_zero"))
+        and p.ndim == 2 else p,
+        params,
+    )
+
+    out_tok, _ = model.apply(params, x, **kw_tok)
+    out_inst, _ = model.apply(params, x, **kw_inst)
+    np.testing.assert_allclose(
+        np.asarray(out_tok), np.asarray(out_inst), atol=1e-5
+    )

@@ -213,7 +213,11 @@ class AdaptiveWrapper(nn.Module):
     def __call__(
         self,
         x,
-        cond=None,  # Float[b, n, dim_cond] | Float[b, dim_cond] | None
+        cond=None,  # Float[b, n|I, dim_cond] | Float[b, dim_cond] | None
+        cond_index=None,  # Int[b, n] | None — token -> cond row gather.
+        # Transfusion times are constant per modality instance, so the FiLM
+        # and ada-LN-zero projections can run over I = instances+1 rows and
+        # be gathered per token — identical math, a fraction of the FLOPs.
         is_any_modality=None,  # bool | Bool[b, n] | None
         modality_only: bool = False,
         **kwargs,
@@ -232,7 +236,6 @@ class AdaptiveWrapper(nn.Module):
                 kernel_init=nn.initializers.zeros,
                 name="to_film",
             )(cond)
-            gamma_f, beta_f = jnp.split(film, 2, axis=-1)
             ada_gate = nn.sigmoid(
                 nn.Dense(
                     self.dim,
@@ -241,6 +244,14 @@ class AdaptiveWrapper(nn.Module):
                     name="to_ada_ln_zero",
                 )(cond)
             )
+            if cond_index is not None:
+                film = jnp.take_along_axis(
+                    film, cond_index[..., None], axis=1
+                )
+                ada_gate = jnp.take_along_axis(
+                    ada_gate, cond_index[..., None], axis=1
+                )
+            gamma_f, beta_f = jnp.split(film, 2, axis=-1)
 
         def run(fn_in):
             out = self.fn(fn_in, **kwargs)

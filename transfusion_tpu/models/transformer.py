@@ -116,7 +116,8 @@ class TransformerBlock(nn.Module):
         self,
         s,  # [streams, b, n, dim]
         skip,  # like s | None
-        cond,  # [b, n|1, 4*dim] | None
+        cond,  # [b, n|1|I, 4*dim] | None
+        cond_index,  # Int[b, n] | None — per-instance cond gather
         mask,  # Bool[b|1, 1, n, kv] | None
         rope,  # angles | None
         is_any_modality,  # Bool[b, n] | None
@@ -177,6 +178,7 @@ class TransformerBlock(nn.Module):
 
         adaptive_kwargs = dict(
             cond=cond,
+            cond_index=cond_index,
             modality_only=self.modality_only,
             is_any_modality=is_any_modality,
         )
@@ -272,7 +274,11 @@ class Transformer(nn.Module):
     def __call__(
         self,
         x,  # Float[b, n, dim] — only the tokens to process (tail if decoding)
-        times=None,  # None | Float[b] | Float[b, n]
+        times=None,  # None | Float[b] | Float[b, n] — per-token conditioning
+        times_inst=None,  # None | Float[b, m] — per-INSTANCE times (requires
+        # spans): the adaLN projections run over m+1 rows instead of n
+        # tokens and are gathered per token — identical numerics, far fewer
+        # FLOPs (the conditioning MLPs dominate the model cost)
         attn_mask=None,  # Bool[b, n, n] | None
         spans=None,  # Int[b, m, 3] | None
         is_any_modality=None,  # bool | Bool[b, n] | None
@@ -287,7 +293,24 @@ class Transformer(nn.Module):
 
         # --- time conditioning -------------------------------------------
         cond = None
-        if times is not None:
+        cond_index = None
+        if times_inst is not None:
+            assert spans is not None and times is None
+            m = times_inst.shape[1]
+            inst_times = jnp.concatenate(
+                [jnp.zeros((b, 1), times_inst.dtype), times_inst], axis=1
+            )  # row 0 = text (time 0)
+            rfe = random_fourier_embed(inst_times, self.dim, seed=self.fourier_seed)
+            cond = nn.silu(
+                nn.Dense(self.dim * 4, dtype=self.dtype, name="to_time_cond")(rfe)
+            )
+            from transfusion_tpu.ops.spans import spans_to_instance_mask
+
+            inst_mask = spans_to_instance_mask(n, spans)  # [b, m, n]
+            cond_index = jnp.einsum(
+                "bmn,m->bn", inst_mask.astype(jnp.int32), jnp.arange(1, m + 1)
+            )
+        elif times is not None:
             if times.ndim == 0:
                 times = jnp.broadcast_to(times, (b,))
             rfe = random_fourier_embed(times, self.dim, seed=self.fourier_seed)
@@ -369,7 +392,7 @@ class Transformer(nn.Module):
             )
 
             s, attn_values, layer_new_cache = block(
-                s, skip, cond, mask, rope, is_any_modality,
+                s, skip, cond, cond_index, mask, rope, is_any_modality,
                 value_residual, layer_cache, flash_spans,
             )
             if value_residual is None:

@@ -258,11 +258,11 @@ class TransfusionCore(nn.Module):
             x = x.at[g.batch_idx[:, None], idx].set(in_rows.astype(x.dtype))
 
         rotary_pos = spans_to_rotary_positions(n, spans)
-        times_tok = spans_to_token_times(n, spans, times)
 
         embed, new_cache = self.transformer(
             x,
-            times=times_tok,
+            times_inst=times,  # adaLN projections run per instance, not per
+            # token (identical numerics, a fraction of the FLOPs)
             spans=spans,
             rotary_pos=rotary_pos,
             cache=cache,
