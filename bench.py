@@ -38,7 +38,7 @@ def main():
         num_text_tokens=256,
         dim_latent=32,
         modality_default_shape=(14, 14),
-        transformer=dict(dim=384, depth=8, dim_head=64, heads=8),
+        transformer=dict(dim=384, depth=8, dim_head=64, heads=8, attn_impl="flash"),
         pad_multiple=64,
         dtype=dtype,
     )
@@ -54,7 +54,7 @@ def main():
         ]
         for _ in range(32)
     ]
-    packed = model.pack(batch)
+    packed = model.pack(batch, shift_friendly=True)
     tokens_per_step = int(packed.total_tokens)
 
     key = jax.random.PRNGKey(1)

@@ -210,6 +210,7 @@ def pack_samples(
     pad_len: Optional[int] = None,
     span_multiple: int = 2,
     use_native: bool = True,
+    shift_friendly: bool = False,
 ) -> PackedBatch:
     """Pack a list of ragged ModalitySamples into one PackedBatch.
 
@@ -224,6 +225,10 @@ def pack_samples(
 
     Buffer assembly runs in the native C++ extension when built
     (csrc/fastpack.cpp); set use_native=False to force the numpy path.
+
+    shift_friendly pads to multiple+1 so that after the next-token shift the
+    model consumes a tile-aligned sequence (required by the Pallas flash
+    path, and friendlier to the MXU generally).
     """
     batch = len(samples)
     num_modalities = len(spec.modalities)
@@ -316,7 +321,7 @@ def pack_samples(
     max_len = max(lengths_py) if lengths_py else 1
     n = pad_len if pad_len is not None else round_up_to_multiple(
         max(max_len, 1) + 1, pad_multiple
-    )
+    ) + (1 if shift_friendly else 0)
     assert n >= max_len, f"pad_len {n} < longest sample {max_len}"
 
     m = max(

@@ -899,7 +899,9 @@ class Transfusion:
         (transfusion.py:2257-2949)."""
         if packed is None:
             batch = self.encode_modalities(batch)
-            packed = self.pack(batch, wrap_sos_eos=True, add_meta=True)
+            packed = self.pack(
+                batch, wrap_sos_eos=True, add_meta=True, shift_friendly=True
+            )
 
         if num_modalities_to_times_fn is not None and times is None:
             num_mods = np.asarray((packed.spans[..., 2] > 0).sum(-1))

@@ -145,7 +145,7 @@ class Trainer:
         or a pre-packed PackedBatch."""
         if isinstance(batch, list):
             batch = self.model.encode_modalities(batch)
-            packed = self.model.pack(batch)
+            packed = self.model.pack(batch, shift_friendly=True)
         else:
             packed = batch
         packed = jax.tree.map(jnp.asarray, packed)
