@@ -245,12 +245,14 @@ class AdaptiveWrapper(nn.Module):
                 )(cond)
             )
             if cond_index is not None:
-                film = jnp.take_along_axis(
-                    film, cond_index[..., None], axis=1
-                )
-                ada_gate = jnp.take_along_axis(
-                    ada_gate, cond_index[..., None], axis=1
-                )
+                # gather per-token rows via a one-hot matmul: MXU-friendly
+                # and fuses cleanly (take_along_axis lowers to huge select
+                # chains on TPU)
+                onehot = jax.nn.one_hot(
+                    cond_index, cond.shape[1], dtype=film.dtype
+                )  # [b, n, I]
+                film = jnp.einsum("bni,bio->bno", onehot, film)
+                ada_gate = jnp.einsum("bni,bio->bno", onehot, ada_gate)
             gamma_f, beta_f = jnp.split(film, 2, axis=-1)
 
         def run(fn_in):

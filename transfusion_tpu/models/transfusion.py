@@ -160,7 +160,8 @@ class TransfusionCore(nn.Module):
         )
         self.text_embed = nn.Embed(self.vocab_size, self.dim, name="text_embed")
         self.to_text_logits = nn.Dense(
-            self.vocab_size, use_bias=False, name="to_text_logits"
+            self.vocab_size, use_bias=False, dtype=self.dtype,
+            name="to_text_logits",
         )
 
         lat2mod, mod2lat, pos_mlps = [], [], []

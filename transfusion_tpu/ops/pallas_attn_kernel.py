@@ -47,7 +47,8 @@ def _kernel(
     k_ref,  # [1, 1, n, D]
     v_ref,  # [1, 1, n, D]
     o_ref,  # [1, 1, BQ, D]
-    lse_ref=None,  # [1, 1, BQ, 1] — logsumexp rows, saved when training
+    lse_ref=None,  # [1, 1, 8, BQ] — logsumexp rows (8 duplicate sublanes:
+    # a trailing singleton would pad to 128 lanes in HBM, 16x more memory)
     *,
     use_spans: bool,
     softcap: float,
@@ -132,7 +133,8 @@ def _kernel(
     l_safe = jnp.maximum(l_f, 1e-30)
     o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
     if lse_ref is not None:
-        lse_ref[0, 0] = m_f + jnp.log(l_safe)  # [bq, 1]
+        lse_row = (m_f + jnp.log(l_safe)).T  # [1, bq]
+        lse_ref[0, 0] = jnp.broadcast_to(lse_row, (8, lse_row.shape[1]))
 
 
 def _flash_fwd(q, k, v, spans, causal, softcap, save_lse: bool = False):
@@ -162,11 +164,11 @@ def _flash_fwd(q, k, v, spans, causal, softcap, save_lse: bool = False):
     if save_lse:
         out_shape = (
             out_shape,
-            jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, 8, n), jnp.float32),
         )
         out_specs = (
             out_specs,
-            pl.BlockSpec((1, 1, bq, 1), lambda b, h, iq, *_: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, 8, bq), lambda b, h, iq, *_: (b, h, 0, iq)),
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -248,8 +250,8 @@ def _bwd_dkv_kernel(
         q_start = iq * bq
         q_blk = q_ref[0, 0, pl.ds(q_start, bq), :].astype(jnp.float32)
         do_blk = do_ref[0, 0, pl.ds(q_start, bq), :].astype(jnp.float32)
-        lse_blk = lse_ref[0, 0, pl.ds(q_start, bq), :]  # [bq, 1]
-        delta_blk = delta_ref[0, 0, pl.ds(q_start, bq), :]
+        lse_blk = lse_ref[0, 0, 0:1, pl.ds(q_start, bq)].T  # [bq, 1]
+        delta_blk = delta_ref[0, 0, 0:1, pl.ds(q_start, bq)].T
 
         p, s_cap = _recompute_p(
             q_blk, k_blk, spans_ref, b, q_start, k_start, lse_blk,
@@ -303,8 +305,8 @@ def _bwd_dq_kernel(
 
     q_blk = q_ref[0, 0].astype(jnp.float32)
     do_blk = do_ref[0, 0].astype(jnp.float32)
-    lse_blk = lse_ref[0, 0]  # [bq, 1]
-    delta_blk = delta_ref[0, 0]
+    lse_blk = lse_ref[0, 0, 0:1, :].T  # [bq, 1]
+    delta_blk = delta_ref[0, 0, 0:1, :].T
 
     def body(ik, dq):
         k_start = ik * bk
@@ -344,8 +346,9 @@ def _flash_bwd(q, k, v, spans, o, lse, g, causal, softcap):
     bk = _pick_block(n, (BK, 512, 256, 128, 64, 32, 16, 8))
 
     delta = jnp.sum(
-        g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
-    )  # [b, h, n, 1]
+        g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    )  # [b, h, n]
+    delta = jnp.broadcast_to(delta[:, :, None, :], (b, h, 8, n))
 
     interpret = jax.default_backend() == "cpu"
     common = dict(
@@ -363,8 +366,8 @@ def _flash_bwd(q, k, v, spans, o, lse, g, causal, softcap):
             in_specs=[
                 spec_nd((1, 1, n, d), lambda b, h, ik, *_: (b, h, 0, 0)),  # q
                 spec_nd((1, 1, n, d), lambda b, h, ik, *_: (b, h, 0, 0)),  # do
-                spec_nd((1, 1, n, 1), lambda b, h, ik, *_: (b, h, 0, 0)),  # lse
-                spec_nd((1, 1, n, 1), lambda b, h, ik, *_: (b, h, 0, 0)),  # delta
+                spec_nd((1, 1, 8, n), lambda b, h, ik, *_: (b, h, 0, 0)),  # lse
+                spec_nd((1, 1, 8, n), lambda b, h, ik, *_: (b, h, 0, 0)),  # delta
                 spec_nd((1, 1, bk, d), lambda b, h, ik, *_: (b, h, ik, 0)),  # k
                 spec_nd((1, 1, bk, d), lambda b, h, ik, *_: (b, h, ik, 0)),  # v
             ],
@@ -390,8 +393,8 @@ def _flash_bwd(q, k, v, spans, o, lse, g, causal, softcap):
                 spec_nd((1, 1, n, d), lambda b, h, iq, *_: (b, h, 0, 0)),  # k
                 spec_nd((1, 1, n, d), lambda b, h, iq, *_: (b, h, 0, 0)),  # v
                 spec_nd((1, 1, bq, d), lambda b, h, iq, *_: (b, h, iq, 0)),  # do
-                spec_nd((1, 1, bq, 1), lambda b, h, iq, *_: (b, h, iq, 0)),  # lse
-                spec_nd((1, 1, bq, 1), lambda b, h, iq, *_: (b, h, iq, 0)),  # delta
+                spec_nd((1, 1, 8, bq), lambda b, h, iq, *_: (b, h, 0, iq)),  # lse
+                spec_nd((1, 1, 8, bq), lambda b, h, iq, *_: (b, h, 0, iq)),  # delta
                 spec_nd((1, 1, bq, d), lambda b, h, iq, *_: (b, h, iq, 0)),  # q
             ],
             out_specs=spec_nd((1, 1, bq, d), lambda b, h, iq, *_: (b, h, iq, 0)),
