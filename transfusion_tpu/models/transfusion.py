@@ -52,7 +52,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from transfusion_tpu.data.packing import (
-    LatentGroup,
     ModalityPackSpec,
     PackSpec,
     PackedBatch,
@@ -70,13 +69,11 @@ from transfusion_tpu.ops.spans import (
     spans_to_is_any_modality,
     spans_to_modality_mask,
     spans_to_rotary_positions,
-    spans_to_token_times,
 )
 from transfusion_tpu.utils.helpers import (
     cast_tuple,
     decode_chars,
     default,
-    exists,
     round_up_to_multiple,
     tokens_since_rightmost_id,
 )

@@ -19,8 +19,6 @@ for parity tests. The Pallas kernel is implemented in
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

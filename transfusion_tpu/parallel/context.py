@@ -9,23 +9,21 @@ sharded over a 'context' mesh axis:
   * the transfusion mask is evaluated against *global* row indices, so
     causality and modality rectangles are exact across shards.
 
-This is the all-gather variant (memory O(n) per chip for K/V, compute
-perfectly sharded). A bandwidth-optimal ring schedule (pltpu
-make_async_remote_copy, overlapping compute with neighbor transfers — the
-span mask is ring-compatible since spans are contiguous) is the planned
-upgrade; the call signature will not change.
+Two schedules, same signature, both tested against the dense oracle on the
+8-device CPU mesh:
 
-Works under shard_map on any mesh with a 'context' axis; tested on the
-8-device CPU mesh against the dense oracle.
+  * `context_parallel_attention` — all-gather KV (one collective; O(n)
+    KV memory per chip, minimal latency at moderate n);
+  * `ring_attention` — KV chunks rotate around the ring via ppermute with
+    local online-softmax accumulation (O(n/c) memory per chip; XLA
+    overlaps the permute with block compute) — the long-context schedule.
 """
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from transfusion_tpu.ops.norms import softclamp, max_neg_value
 

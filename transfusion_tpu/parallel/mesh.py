@@ -23,8 +23,6 @@ Sharding rules are path-based over the linen param tree:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

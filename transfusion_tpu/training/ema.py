@@ -11,7 +11,6 @@ Functional core (`ema_update`) + a thin stateful wrapper (`EMA`) mirroring
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any
 
 import flax.struct

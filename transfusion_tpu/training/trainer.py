@@ -9,8 +9,7 @@ checkpoint/resume — the reference has no checkpointing at all (SURVEY.md
 
 from __future__ import annotations
 
-import time
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import flax.struct
 import jax

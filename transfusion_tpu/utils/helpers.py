@@ -12,8 +12,6 @@ here is traced by JAX.
 from __future__ import annotations
 
 import logging
-from typing import Any, Sequence
-
 import numpy as np
 
 logger = logging.getLogger("transfusion_tpu")
