@@ -142,3 +142,27 @@ def test_grad_excludes_padding():
     l1 = model.loss(params, batch, jax.random.PRNGKey(1), packed=p1)
     l2 = model.loss(params, batch, jax.random.PRNGKey(1), packed=p2)
     np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
+
+
+def test_chunked_ce_matches_dense():
+    kw = dict(
+        num_text_tokens=8,
+        dim_latent=16,
+        modality_default_shape=(4,),
+        transformer=dict(dim=32, depth=1, dim_head=8, heads=4),
+        pad_multiple=16,
+        prob_uncond=0.0,
+    )
+    import copy
+
+    from transfusion_tpu.models.transfusion import Transfusion as T
+
+    dense = T(**copy.deepcopy(kw))
+    chunked = T(**copy.deepcopy(kw), ce_chunk_size=7)  # non-divisor on purpose
+    params = dense.init_params(jax.random.PRNGKey(0))
+
+    batch = [[np.arange(6, dtype=np.int32) % 8,
+              np.random.randn(4, 16).astype(np.float32)]]
+    a = dense.loss(params, batch, jax.random.PRNGKey(1))
+    b = chunked.loss(params, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-5)

@@ -455,6 +455,7 @@ class Transfusion:
         eps: float = 1e-2,
         prob_uncond: float = 0.1,
         pad_multiple: int = 64,
+        ce_chunk_size: Optional[int] = None,
         dtype=jnp.float32,
     ):
         transformer = dict(transformer)
@@ -552,6 +553,9 @@ class Transfusion:
         self.eps = eps
         self.prob_uncond = prob_uncond
         self.pad_multiple = pad_multiple
+        # sequence-chunked cross-entropy: never materializes the full
+        # [b, n, vocab] logits tensor — set for large vocabularies
+        self.ce_chunk_size = ce_chunk_size
         self.fallback_to_default_shape_if_invalid = fallback_to_default_shape_if_invalid
         self.dtype = dtype
 
@@ -710,9 +714,10 @@ class Transfusion:
     # joint loss
     # ------------------------------------------------------------------
 
-    def _joint_core(self, params, packed, times, rngs_noise, deterministic=True):
+    def _joint_core(self, params, packed, times, rngs_noise, deterministic=True,
+                    return_logits=True):
         """Noise the packed groups and run the core. Returns
-        (logits, pred_flows, noises, flows, noised_groups)."""
+        (logits, embed, pred_flows, noises, flows, noised_groups)."""
         noised_groups, noises, flows = [], [], []
         for gi, g in enumerate(packed.groups):
             noise = jax.random.normal(rngs_noise[gi], g.latents.shape)
@@ -723,14 +728,45 @@ class Transfusion:
             flows.append(flow)
 
         packed_n = packed.replace(groups=tuple(noised_groups))
-        logits, _, pred_flows, _, _ = self.core.apply(
+        logits, embed, pred_flows, _, _ = self.core.apply(
             params,
             packed_n,
             times,
+            return_logits=return_logits,
             deterministic=deterministic,
             method="joint",
         )
-        return logits, pred_flows, noises, flows, noised_groups
+        return logits, embed, pred_flows, noises, flows, noised_groups
+
+    def _chunked_ce(self, params, embed, labels, valid):
+        """Sum of -log p(label) over valid positions, computed in sequence
+        chunks so the [b, n, vocab] logits tensor is never materialized
+        (the dominant HBM temp with production vocabularies)."""
+        W = params["params"]["to_text_logits"]["kernel"]
+        C = self.ce_chunk_size
+        b, n, d = embed.shape
+        pad = (-n) % C
+        if pad:
+            embed = jnp.pad(embed, ((0, 0), (0, pad), (0, 0)))
+            labels = jnp.pad(labels, ((0, 0), (0, pad)))
+            valid = jnp.pad(valid, ((0, 0), (0, pad)))
+        nc = (n + pad) // C
+
+        emb_c = embed.reshape(b, nc, C, d).transpose(1, 0, 2, 3)
+        lab_c = labels.reshape(b, nc, C).transpose(1, 0, 2)
+        val_c = valid.reshape(b, nc, C).transpose(1, 0, 2)
+
+        def step(acc, args):
+            e, lab, va = args
+            lg = (e.astype(self.dtype) @ W.astype(self.dtype)).astype(
+                jnp.float32
+            )
+            lse = jax.nn.logsumexp(lg, axis=-1)
+            ll = jnp.take_along_axis(lg, lab[..., None], axis=-1)[..., 0]
+            return acc + (-(ll - lse) * va).sum(), None
+
+        ce_sum, _ = jax.lax.scan(step, jnp.zeros(()), (emb_c, lab_c, val_c))
+        return ce_sum
 
     def _loss_impl(
         self,
@@ -772,9 +808,11 @@ class Transfusion:
         n = n_full - 1
         packed_in = packed.replace(text=text_in)
 
+        chunked = self.ce_chunk_size is not None
         noise_keys = jax.random.split(rng_noise, max(len(packed.groups), 1))
-        logits, pred_flows, noises, flows, noised_groups = self._joint_core(
-            params, packed_in, times, noise_keys, deterministic=not train
+        logits, embed, pred_flows, noises, flows, noised_groups = self._joint_core(
+            params, packed_in, times, noise_keys, deterministic=not train,
+            return_logits=not chunked,
         )
 
         total_tokens = packed.total_tokens.astype(jnp.float32)
@@ -786,12 +824,17 @@ class Transfusion:
             & (labels != self.null_text_id)
             & ~is_any_mod
         )
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        label_logp = jnp.take_along_axis(
-            logp, jnp.where(valid, labels, 0)[..., None], axis=-1
-        )[..., 0]
         kept = valid.sum().astype(jnp.float32)
-        text_loss = -(label_logp * valid).sum() / jnp.maximum(kept, 1.0)
+        safe_labels = jnp.where(valid, labels, 0)
+        if chunked:
+            ce_sum = self._chunked_ce(params, embed, safe_labels, valid)
+        else:
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            label_logp = jnp.take_along_axis(
+                logp, safe_labels[..., None], axis=-1
+            )[..., 0]
+            ce_sum = -(label_logp * valid).sum()
+        text_loss = ce_sum / jnp.maximum(kept, 1.0)
         text_frac = kept / total_tokens
 
         # ---- per-type flow losses ----
