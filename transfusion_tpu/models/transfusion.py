@@ -846,7 +846,7 @@ class Transfusion:
 
         if has_velocity:
             ema_keys = jax.random.split(rng_noise_ema, max(len(packed.groups), 1))
-            _, ema_pred_flows, _, _, _ = self._joint_core(
+            _, _, ema_pred_flows, _, _, _ = self._joint_core(
                 ema_params,
                 packed_in,
                 orig_times + velocity_delta,
