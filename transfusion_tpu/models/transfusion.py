@@ -852,6 +852,7 @@ class Transfusion:
                 orig_times + velocity_delta,
                 ema_keys,
                 deterministic=True,
+                return_logits=False,  # EMA pass only needs the flows
             )
             ema_pred_flows = jax.lax.stop_gradient(ema_pred_flows)
 
