@@ -127,3 +127,15 @@ def test_gradients_multi_span_and_causal():
         gd = jax.grad(f_dense, argnums=(0, 1, 2))(q, k, v)
         for a, b in zip(gf, gd):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_streamed_kernel_matches_dense(monkeypatch):
+    """Force the HBM-streaming variant and check parity."""
+    import transfusion_tpu.ops.pallas_attn_kernel as K
+
+    monkeypatch.setattr(K, "_MAX_N_TIMES_D_RESIDENT", 1)  # force streaming
+    q, k, v = make_qkv(b=1, h=2, n=512, d=64)
+    spans = jnp.array([[[0, 100, 150]]], jnp.int32)
+    got = K.flash_attention(q, k, v, spans, False, 50.0)
+    want = _reference_attention(q, k, v, spans, False, 50.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
