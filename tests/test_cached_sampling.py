@@ -112,3 +112,15 @@ def test_cached_sample_no_cfg():
         cache_kv=True, cfg_scale=1.0,
     )
     assert any(isinstance(o, tuple) for o in out)
+
+
+def test_cached_sample_bf16():
+    model = make_model(dtype=jnp.bfloat16)
+    params = model.init_params(jax.random.PRNGKey(0))
+    out = model.sample(
+        params, prompt=[np.asarray(model.som_ids[0])],
+        rng=jax.random.PRNGKey(3), max_length=4, modality_steps=2,
+        cache_kv=True,
+    )
+    lat = next(o[1] for o in out if isinstance(o, tuple))
+    assert np.isfinite(np.asarray(lat, np.float32)).all()

@@ -1896,3 +1896,17 @@ class Transfusion:
         from transfusion_tpu.data.dataloader import create_dataloader
 
         return create_dataloader(dataset, **kwargs)
+
+    def parameters_without_encoder_decoder(self, params=None):
+        """API parity with reference :1573-1578. Modality encoders/decoders
+        hold their own param trees here (outside the core), so the core
+        params ARE the trainable set — returned unchanged."""
+        return default(params, self.params)
+
+    def muon_parameters(self, params=None):
+        """Boolean mask of the Muon-eligible matrices (reference
+        muon_parameters :1580-1595); feed to optax.multi_transform or use
+        training.optim.muon_adam_atan2 directly."""
+        from transfusion_tpu.training.optim import muon_param_mask
+
+        return muon_param_mask(default(params, self.params))

