@@ -73,3 +73,28 @@ def test_dataloader_batching():
     assert len(next(it)) == 4
     for _ in range(5):
         next(it)  # cycles indefinitely
+
+
+def test_packing_loader_pipeline():
+    from transfusion_tpu.data.dataloader import PackingLoader
+    from transfusion_tpu.training.trainer import Trainer
+
+    model = tiny_model()
+    trainer = Trainer(model)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    data = [
+        (np.random.randint(0, 8, 4).astype(np.int32),
+         np.random.randn(2, 16).astype(np.float32))
+        for _ in range(12)
+    ]
+    loader = PackingLoader(model, data, batch_size=4, seed=0)
+    try:
+        for i in range(4):  # cycles past one epoch
+            packed = next(loader)
+            state, metrics = trainer.train_step(
+                state, packed, jax.random.PRNGKey(i)
+            )
+            assert np.isfinite(float(metrics["loss"]))
+    finally:
+        loader.close()

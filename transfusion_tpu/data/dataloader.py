@@ -51,3 +51,49 @@ def create_dataloader(dataset, batch_size: int = 1, shuffle: bool = False, **kw)
 def cycle(loader):
     while True:
         yield from loader
+
+
+class PackingLoader:
+    """Pipelined loader: encodes + packs upcoming batches on a background
+    thread so host packing overlaps device compute (the async input pipeline
+    the reference lacks — its collate/assembly runs inline every step).
+
+    Yields PackedBatch objects ready for `Trainer.train_step` /
+    `Transfusion.loss(packed=...)`.
+    """
+
+    def __init__(self, model, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, prefetch: int = 2, **pack_kw):
+        import queue
+        import threading
+
+        self.model = model
+        self.loader = DataLoader(dataset, batch_size, shuffle=shuffle, seed=seed)
+        pack_kw.setdefault("shift_friendly", True)
+        self.pack_kw = pack_kw
+        self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while not self._stop.is_set():
+            for batch in self.loader:
+                if self._stop.is_set():
+                    return
+                batch = self.model.encode_modalities(batch)
+                self._q.put(self.model.pack(batch, **self.pack_kw))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
