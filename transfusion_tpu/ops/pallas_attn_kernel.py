@@ -64,7 +64,7 @@ def _kernel(
     q_start = iq * bq
     q_end = q_start + bq - 1
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # [BQ, D]
+    q = q_ref[0, 0] * jnp.asarray(scale, q_ref.dtype)  # [BQ, D] native dtype
 
     # --- KV loop upper bound: causal visibility + span rectangles ---
     hi_tok = q_end  # last kv token visible causally
@@ -83,11 +83,11 @@ def _kernel(
         m_prev, l_prev, acc = carry
         k_start = ik * bk
 
-        k_blk = k_ref[0, 0, pl.ds(k_start, bk), :].astype(jnp.float32)
+        k_blk = k_ref[0, 0, pl.ds(k_start, bk), :]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [BQ, bk]
+        )  # [BQ, bk] — native-dtype MXU matmul, f32 accumulation
 
         if softcap > 0:
             s = jnp.tanh(s / softcap) * softcap
@@ -115,9 +115,9 @@ def _kernel(
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
 
-        v_blk = v_ref[0, 0, pl.ds(k_start, bk), :].astype(jnp.float32)
+        v_blk = v_ref[0, 0, pl.ds(k_start, bk), :]
         acc = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())),
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
@@ -194,8 +194,8 @@ def _kernel_streamed(
 
     @pl.when(blk_any)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32) * scale
-        k_blk = k_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0] * jnp.asarray(scale, q_ref.dtype)
+        k_blk = k_ref[0, 0]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -222,9 +222,9 @@ def _kernel_streamed(
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
-        v_blk = v_ref[0, 0].astype(jnp.float32)
+        v_blk = v_ref[0, 0]
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())),
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
