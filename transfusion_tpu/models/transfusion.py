@@ -1839,7 +1839,7 @@ class Transfusion:
                         else it
                         for it in sample_items
                     ]
-                    u_tok, u_col = seq_stats(uncond_items)
+                    u_tok, _ = seq_stats(uncond_items)
                     cap_u = int(round_up_to_multiple(u_tok + L + 2, 128))
                     _, uncond_cache = prefill(uncond_items, cap_u)
 
