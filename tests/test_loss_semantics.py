@@ -166,3 +166,38 @@ def test_chunked_ce_matches_dense():
     a = dense.loss(params, batch, jax.random.PRNGKey(1))
     b = chunked.loss(params, batch, jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+
+
+def test_flash_training_loss_matches_dense():
+    """attn_impl='flash' through the FULL jitted loss (fwd) equals dense."""
+    import copy
+
+    kw = dict(
+        num_text_tokens=8,
+        dim_latent=16,
+        modality_default_shape=(40,),
+        transformer=dict(dim=32, depth=2, dim_head=64, heads=2),
+        pad_multiple=128,
+        prob_uncond=0.0,
+    )
+    dense = Transfusion(**copy.deepcopy(kw))
+    kw["transformer"]["attn_impl"] = "flash"
+    flash = Transfusion(**copy.deepcopy(kw))
+    params = dense.init_params(jax.random.PRNGKey(0))
+
+    batch = [[np.random.randint(0, 8, 60).astype(np.int32),
+              np.random.randn(40, 16).astype(np.float32),
+              np.random.randint(0, 8, 20).astype(np.int32)]]
+    packed = dense.pack(batch, shift_friendly=True)
+    assert (packed.seq_len - 1) % 8 == 0  # flash-eligible after the shift
+
+    a = dense.loss(params, batch, jax.random.PRNGKey(1), packed=packed)
+    b = flash.loss(params, batch, jax.random.PRNGKey(1), packed=packed)
+    np.testing.assert_allclose(float(a), float(b), rtol=2e-4)
+
+    # gradients agree too (flash backward kernels)
+    ga = jax.grad(lambda p: dense.loss(p, batch, jax.random.PRNGKey(1), packed=packed))(params)
+    gb = jax.grad(lambda p: flash.loss(p, batch, jax.random.PRNGKey(1), packed=packed))(params)
+    na = float(jnp.sqrt(sum(jnp.sum(x**2) for x in jax.tree.leaves(ga))))
+    nb = float(jnp.sqrt(sum(jnp.sum(x**2) for x in jax.tree.leaves(gb))))
+    np.testing.assert_allclose(na, nb, rtol=5e-3)
