@@ -1,4 +1,6 @@
-"""Context-parallel attention vs the dense oracle (8-device CPU mesh)."""
+"""Context-parallel attention vs the dense oracle (8-device CPU mesh),
+plus end-to-end training with the sequence sharded over a 'context' mesh
+axis (ring and all-gather schedules reachable via attn_impl)."""
 
 import jax
 import jax.numpy as jnp
@@ -99,3 +101,91 @@ def test_ring_attention_grads():
     g_dn = jax.grad(f_dn, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g_rg, g_dn):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: training with the model's sequence sharded over 'context'
+# ---------------------------------------------------------------------------
+
+
+def _cp_model(attn_impl, mesh=None):
+    from transfusion_tpu.models.transfusion import Transfusion
+
+    tcfg = dict(dim=32, depth=2, dim_head=8, heads=4, attn_impl=attn_impl)
+    if mesh is not None:
+        tcfg["mesh"] = mesh
+    return Transfusion(
+        num_text_tokens=32,
+        dim_latent=8,
+        modality_default_shape=(2, 2),
+        transformer=tcfg,
+        pad_multiple=16,
+    )
+
+
+def _cp_batch():
+    rng = np.random.default_rng(0)
+    return [
+        [
+            rng.integers(0, 32, 6).astype(np.int32),
+            (0, rng.standard_normal((2, 2, 8)).astype(np.float32)),
+        ]
+        for _ in range(4)
+    ]
+
+
+def _train_losses(model, mesh, steps=3):
+    from transfusion_tpu.training.trainer import Trainer
+
+    trainer = Trainer(model, mesh=mesh, learning_rate=1e-3)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = _cp_batch()
+    losses = []
+    for i in range(steps):
+        state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
+@pytest.mark.parametrize("attn_impl", ["ring", "cp_allgather"])
+def test_train_data_x_context_matches_single_device(attn_impl):
+    """3 optimizer steps with data x context sharding == dense single-device."""
+    from transfusion_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=2, context=2)
+    want = _train_losses(_cp_model("dense"), mesh=None)
+    got = _train_losses(_cp_model(attn_impl, mesh=mesh), mesh=mesh)
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_train_context_only_ring():
+    """Pure sequence sharding (context=4), ring schedule."""
+    from transfusion_tpu.parallel import make_mesh
+
+    mesh = make_mesh(context=4)
+    want = _train_losses(_cp_model("dense"), mesh=None)
+    got = _train_losses(_cp_model("ring", mesh=mesh), mesh=mesh)
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_cp_seq_divisibility_error():
+    from transfusion_tpu.parallel import make_mesh
+    from transfusion_tpu.models.transfusion import Transfusion
+
+    mesh = make_mesh(context=8)
+    model = Transfusion(
+        num_text_tokens=32,
+        dim_latent=8,
+        modality_default_shape=(2, 2),
+        transformer=dict(
+            dim=32, depth=1, dim_head=8, heads=4, attn_impl="ring", mesh=mesh
+        ),
+        pad_multiple=12,  # not divisible by 8
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+    packed = model.pack(_cp_batch())
+    with pytest.raises(AssertionError, match="divisible by the context"):
+        model._loss_impl(
+            params, packed, jax.random.PRNGKey(1), None, None,
+            prob_uncond=0.0, velocity_delta=1e-3, train=False,
+        )

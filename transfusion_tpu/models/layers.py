@@ -90,7 +90,9 @@ class Attention(nn.Module):
     laser: bool = False
     laser_softclamp_value: float = 15.0
     learned_value_residual_mix: bool = False
-    attn_impl: str = "dense"  # 'dense' | 'flash'
+    attn_impl: str = "dense"  # 'dense' | 'flash' | 'ring' | 'cp_allgather'
+    mesh: Any = None  # jax.sharding.Mesh — required for ring/cp_allgather
+    context_axis: str = "context"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -150,7 +152,8 @@ class Attention(nn.Module):
         if self.laser:
             v_att = jnp.exp(softclamp(v_full, self.laser_softclamp_value))
 
-        if self.attn_impl == "flash" and cache is None and flash_spec is not None:
+        fused = cache is None and flash_spec is not None
+        if self.attn_impl == "flash" and fused:
             from transfusion_tpu.ops.pallas_attn import transfusion_flash_attention
 
             out = transfusion_flash_attention(
@@ -160,6 +163,41 @@ class Attention(nn.Module):
                 spans=flash_spec.get("spans"),
                 causal=flash_spec.get("causal", False),
                 softcap=self.softcap_value,
+            )
+        elif (
+            self.attn_impl in ("ring", "cp_allgather")
+            and fused
+            # during flax init the dummy shapes aren't mesh-divisible; the
+            # dense fallback below creates the exact same param tree
+            and not self.is_initializing()
+        ):
+            # context parallelism: sequence sharded over the mesh's
+            # 'context' axis; span mask evaluated at global indices so
+            # causality/rectangles are exact across shards
+            from transfusion_tpu.parallel.context import (
+                context_parallel_attention,
+                ring_attention,
+            )
+
+            assert self.mesh is not None, (
+                f"attn_impl='{self.attn_impl}' needs a mesh with a "
+                f"'{self.context_axis}' axis — pass mesh= to the transformer "
+                "config (e.g. make_mesh(context=...))"
+            )
+            cp_fn = (
+                ring_attention
+                if self.attn_impl == "ring"
+                else context_parallel_attention
+            )
+            out = cp_fn(
+                q,
+                k_full,
+                v_att,
+                spans=flash_spec.get("spans"),
+                causal=flash_spec.get("causal", False),
+                softcap=self.softcap_value,
+                mesh=self.mesh,
+                axis=self.context_axis,
             )
         else:
             sim = jnp.einsum(

@@ -109,6 +109,8 @@ class TransformerBlock(nn.Module):
     modality_only: bool
     flash_causal: bool
     deterministic: bool
+    fused_nomask: bool = False  # ring/cp full attention (no structural mask)
+    mesh: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -147,6 +149,7 @@ class TransformerBlock(nn.Module):
             laser=self.attn_laser,
             learned_value_residual_mix=not self.is_first,
             attn_impl=self.attn_impl,
+            mesh=self.mesh,
             dtype=self.dtype,
             name=f"attn_{ind}",
         )
@@ -173,7 +176,7 @@ class TransformerBlock(nn.Module):
         )
 
         flash_spec = None
-        if flash_spans is not None or self.flash_causal:
+        if flash_spans is not None or self.flash_causal or self.fused_nomask:
             flash_spec = {"spans": flash_spans, "causal": self.flash_causal}
 
         adaptive_kwargs = dict(
@@ -216,7 +219,8 @@ class Transformer(nn.Module):
     unet_skips: bool = True
     num_residual_streams: int = 1
     num_residual_fracs: int = 4
-    attn_impl: str = "dense"  # 'dense' | 'flash'
+    attn_impl: str = "dense"  # 'dense' | 'flash' | 'ring' | 'cp_allgather'
+    mesh: Any = None  # jax.sharding.Mesh with a 'context' axis (ring/cp)
     attn_softcap: float = 50.0
     attn_gate_values: bool = True
     rope_theta: float = 10000.0
@@ -289,7 +293,17 @@ class Transformer(nn.Module):
         deterministic: bool = True,
     ):
         b, n, _ = x.shape
-        use_flash = self.attn_impl == "flash" and cache is None
+        is_cp = self.attn_impl in ("ring", "cp_allgather")
+        use_flash = (
+            self.attn_impl == "flash" or is_cp
+        ) and cache is None
+        if is_cp and cache is None:
+            csize = self.mesh.shape.get("context", 1) if self.mesh else 1
+            assert n % max(csize, 1) == 0, (
+                f"attn_impl='{self.attn_impl}': sequence length {n} must be "
+                f"divisible by the context axis size {csize} — pick a "
+                "pad_multiple divisible by it"
+            )
 
         # --- time conditioning -------------------------------------------
         cond = None
@@ -321,8 +335,14 @@ class Transformer(nn.Module):
         # --- masks ---------------------------------------------------------
         flash_spans = None
         flash_causal = False
+        fused_nomask = False
         if use_flash and (spans is not None or causal) and attn_mask is None:
             flash_spans, flash_causal = spans, causal
+            mask = None
+        elif is_cp and cache is None and attn_mask is None:
+            # ring/cp handle full (unmasked) attention too — keeps the
+            # modality-only path sequence-sharded
+            fused_nomask = True
             mask = None
         else:
             mask = self._build_mask(n, cache, causal, spans, attn_mask, b)
@@ -387,6 +407,8 @@ class Transformer(nn.Module):
                 modality_only=modality_only,
                 flash_causal=flash_causal,
                 deterministic=deterministic,
+                fused_nomask=fused_nomask,
+                mesh=self.mesh,
                 dtype=self.dtype,
                 name=f"block_{ind}",
             )

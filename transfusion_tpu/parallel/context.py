@@ -115,6 +115,18 @@ def _online_block_update(state, q, k_chunk, v_chunk, spans, causal, softcap,
 NEG_INF_RING = -1e30
 
 
+def _cp_specs(mesh: Mesh, axis: str, spans):
+    """shard_map specs for q/k/v [b,h,n,d] + spans [b,m,3] on a mesh that may
+    also carry 'data' (batch) and 'tensor' (heads) axes. Axes of size 1 are
+    omitted so single-purpose context meshes keep their original specs."""
+    names = mesh.axis_names
+    batch = "data" if ("data" in names and mesh.shape["data"] > 1) else None
+    heads = "tensor" if ("tensor" in names and mesh.shape["tensor"] > 1) else None
+    qkv = P(batch, heads, axis, None)
+    span = (P(batch, None, None) if spans is not None else None)
+    return qkv, span
+
+
 def ring_attention(
     q, k, v, spans=None, causal=False, softcap: float = 50.0,
     mesh: Mesh = None, axis: str = "context",
@@ -156,17 +168,18 @@ def ring_attention(
         )
         # the accumulators become device-varying after the first update;
         # mark the (constant) init values as varying too so the fori_loop
-        # carry types match under shard_map's axis tracking
+        # carry types match under shard_map's axis tracking (over every
+        # mesh axis the q/k/v shards vary on, not just the ring axis)
         init = jax.tree.map(
-            lambda x: jax.lax.pcast(x, (axis,), to="varying"), init
+            lambda x: jax.lax.pcast(x, vary_axes, to="varying"), init
         )
         (m, l, acc), _, _ = jax.lax.fori_loop(
             0, size, step, (init, k_loc, v_loc)
         )
         return (acc / jnp.maximum(l, 1e-30)).astype(q_loc.dtype)
 
-    seq_spec = P(None, None, axis, None)
-    span_spec = P() if spans is not None else None
+    seq_spec, span_spec = _cp_specs(mesh, axis, spans)
+    vary_axes = tuple(a for a in seq_spec if a is not None)
 
     from jax import shard_map
 
@@ -201,8 +214,7 @@ def context_parallel_attention(
             q_loc, k_full, v_full, spans_loc, causal, softcap, idx * nl
         )
 
-    seq_spec = P(None, None, axis, None)
-    span_spec = P() if spans is not None else None
+    seq_spec, span_spec = _cp_specs(mesh, axis, spans)
 
     from jax import shard_map
 

@@ -35,13 +35,19 @@ def make_mesh(
     data: int = 1,
     fsdp: int = 1,
     tensor: int = 1,
+    context: int = 1,
     devices=None,
 ) -> Mesh:
+    """4-axis device mesh: data x fsdp x tensor x context.
+
+    'context' shards the packed sequence dimension (ring / all-gather
+    attention, parallel/context.py); size 1 axes cost nothing under GSPMD.
+    """
     devices = devices if devices is not None else jax.devices()
-    n = data * fsdp * tensor
+    n = data * fsdp * tensor * context
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
-    dev_array = np.asarray(devices[:n]).reshape(data, fsdp, tensor)
-    return Mesh(dev_array, axis_names=("data", "fsdp", "tensor"))
+    dev_array = np.asarray(devices[:n]).reshape(data, fsdp, tensor, context)
+    return Mesh(dev_array, axis_names=("data", "fsdp", "tensor", "context"))
 
 
 def _path_str(path) -> str:
