@@ -87,7 +87,7 @@ def torch_forward(params, ids):
 
         # --- attention with AdaptiveWrapper text path ---
         ada = blk[f"attn_ada_{ind}"]
-        h = F.layer_norm(x, (DIM,), eps=1e-6)
+        h = F.layer_norm(x, (DIM,), eps=1e-5)
         h = h * (t(ada["layernorm_gamma"]) + 1.0)
 
         attn = blk[f"attn_{ind}"]
@@ -124,7 +124,7 @@ def torch_forward(params, ids):
 
         # --- feedforward with AdaptiveWrapper text path ---
         ada = blk[f"ff_ada_{ind}"]
-        h = F.layer_norm(x, (DIM,), eps=1e-6)
+        h = F.layer_norm(x, (DIM,), eps=1e-5)
         h = h * (t(ada["layernorm_gamma"]) + 1.0)
         ff = blk[f"ff_{ind}"]
         hh = h @ t(ff["proj_in"]["kernel"]) + t(ff["proj_in"]["bias"])
@@ -143,7 +143,7 @@ def torch_forward(params, ids):
 
 def _ada_mixed(ada_p, x, cond_gb, is_mod, t):
     """AdaptiveWrapper mixed text/modality input transform (torch)."""
-    h = F.layer_norm(x, (DIM,), eps=1e-6)
+    h = F.layer_norm(x, (DIM,), eps=1e-5)
     text_in = h * (t(ada_p["layernorm_gamma"]) + 1.0)
     film = cond_gb @ t(ada_p["to_film"]["kernel"]) + t(ada_p["to_film"]["bias"])
     gamma_f, beta_f = film.chunk(2, dim=-1)
@@ -205,7 +205,7 @@ def torch_joint_forward(model, params, packed, noised, times_scalar):
     )
 
     # time conditioning: fourier (fixed-seed buffer) -> dense -> silu
-    fw = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (DIM // 2,)))
+    fw = np.asarray(core["transformer"]["fourier_weights"])
     tt = torch.tensor(times_tok, dtype=torch.float32)
     fr = tt[..., None] * torch.tensor(fw) * 2 * math.pi
     rfe = torch.cat([tt[..., None], fr.sin(), fr.cos()], dim=-1)

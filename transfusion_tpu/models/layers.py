@@ -30,18 +30,21 @@ from transfusion_tpu.ops.norms import l2norm, softclamp, safe_log, max_neg_value
 from transfusion_tpu.ops.rope import apply_rope
 
 
-def random_fourier_embed(times, dim: int, seed: int = 0):
+def random_fourier_embed(times, dim: int, seed: int = 0, weights=None):
     """[times, sin(2pi f t), cos(2pi f t)] with fixed random frequencies.
 
     times: Float[b] or Float[b, n]; returns Float[b, n, dim + 1] (n=1 for 1-D
     input). The frequency buffer is a fixed (non-trainable) standard normal
-    draw, matching the reference's registered buffer (ref :670-688).
+    draw, matching the reference's registered buffer (ref :670-688). Pass
+    `weights` (Float[dim//2], e.g. the Transformer's `fourier_weights` param)
+    to use ported reference frequencies; otherwise a seed-derived draw is used.
     """
     assert dim % 2 == 0
     if times.ndim == 1:
         times = times[:, None]
 
-    weights = jax.random.normal(jax.random.PRNGKey(seed), (dim // 2,))
+    if weights is None:
+        weights = jax.random.normal(jax.random.PRNGKey(seed), (dim // 2,))
     freqs = times[..., None] * weights * 2.0 * jnp.pi  # [b, n, dim/2]
     return jnp.concatenate([times[..., None], jnp.sin(freqs), jnp.cos(freqs)], axis=-1)
 
@@ -263,7 +266,11 @@ class AdaptiveWrapper(nn.Module):
         if cond is not None and cond.ndim == 2:
             cond = cond[:, None, :]
 
-        x_ln = nn.LayerNorm(use_bias=False, use_scale=False, name="ln")(x)
+        # epsilon matches torch nn.LayerNorm (ref :707) so ported reference
+        # weights reproduce identical activations
+        x_ln = nn.LayerNorm(
+            use_bias=False, use_scale=False, epsilon=1e-5, name="ln"
+        )(x)
 
         gamma_ln = self.param("layernorm_gamma", nn.initializers.zeros, (self.dim,))
         layerscale = self.param("layerscale", nn.initializers.zeros, (self.dim,))

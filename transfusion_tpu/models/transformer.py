@@ -308,13 +308,26 @@ class Transformer(nn.Module):
         # --- time conditioning -------------------------------------------
         cond = None
         cond_index = None
+        if times_inst is not None or times is not None:
+            # the reference keeps the fourier frequencies as a frozen buffer
+            # (ref :670-688); a stop_gradient'd param here so reference
+            # checkpoints can be ported into the tree (ops/port.py)
+            fourier_w = jax.lax.stop_gradient(
+                self.param(
+                    "fourier_weights",
+                    lambda rng, shape: jax.random.normal(
+                        jax.random.PRNGKey(self.fourier_seed), shape
+                    ),
+                    (self.dim // 2,),
+                )
+            )
         if times_inst is not None:
             assert spans is not None and times is None
             m = times_inst.shape[1]
             inst_times = jnp.concatenate(
                 [jnp.zeros((b, 1), times_inst.dtype), times_inst], axis=1
             )  # row 0 = text (time 0)
-            rfe = random_fourier_embed(inst_times, self.dim, seed=self.fourier_seed)
+            rfe = random_fourier_embed(inst_times, self.dim, weights=fourier_w)
             cond = nn.silu(
                 nn.Dense(self.dim * 4, dtype=self.dtype, name="to_time_cond")(rfe)
             )
@@ -327,7 +340,7 @@ class Transformer(nn.Module):
         elif times is not None:
             if times.ndim == 0:
                 times = jnp.broadcast_to(times, (b,))
-            rfe = random_fourier_embed(times, self.dim, seed=self.fourier_seed)
+            rfe = random_fourier_embed(times, self.dim, weights=fourier_w)
             cond = nn.silu(
                 nn.Dense(self.dim * 4, dtype=self.dtype, name="to_time_cond")(rfe)
             )
