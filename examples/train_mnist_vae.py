@@ -79,10 +79,10 @@ def train_autoencoder(images, steps=300, batch=64, seed=0):
 
 
 def main():
-    args = parse_args(default_steps=300, default_sample_every=150, batch_size=16)
+    args = parse_args(default_steps=300, default_sample_every=150, batch_size=16, ae_steps=200)
     images, labels = load_mnist()
 
-    enc, dec, ae_params = train_autoencoder(images, steps=200, seed=args.seed)
+    enc, dec, ae_params = train_autoencoder(images, steps=args.ae_steps, seed=args.seed)
 
     model = Transfusion(
         num_text_tokens=10,

@@ -1,6 +1,10 @@
-"""Smoke tests for example scripts (subset — full runs are manual).
+"""Smoke tests for ALL NINE example scripts (reference acceptance configs,
+SURVEY.md §2.6) — tiny step counts, offline data fallbacks, CPU.
 
-Each example is executed in-process with tiny step counts on CPU.
+These catch config regressions the unit tests can't see: LASER attention
+(train_text_only), Muon + velocity consistency (train_image_only), unet
+pre/post projections (train_mnist_with_unet / *_with_unet), recon loss 0.1 +
+CFG sampling (train_latent_with_text), two-stage VAE (train_mnist_vae).
 """
 
 import pathlib
@@ -41,5 +45,58 @@ def test_train_mnist_smoke(tmp_path, monkeypatch):
 def test_train_latent_only_smoke():
     run_example(
         "train_latent_only.py",
+        ["--steps", "2", "--sample-every", "1000", "--batch-size", "2"],
+    )
+
+
+def test_train_text_only_smoke():
+    # exercises LASER attention + grad accumulation (ref train_text_only.py)
+    run_example(
+        "train_text_only.py",
+        ["--steps", "2", "--sample-every", "1000", "--batch-size", "2"],
+    )
+
+
+def test_train_mnist_vae_smoke(tmp_path, monkeypatch):
+    # two-stage: conv autoencoder pretrain, then transfusion on its latents
+    monkeypatch.chdir(tmp_path)
+    run_example(
+        "train_mnist_vae.py",
+        ["--steps", "2", "--sample-every", "1000", "--batch-size", "2",
+         "--ae-steps", "2"],
+    )
+
+
+def test_train_mnist_with_unet_smoke(tmp_path, monkeypatch):
+    # pre_post_transformer_enc_dec conv down/up pair
+    monkeypatch.chdir(tmp_path)
+    run_example(
+        "train_mnist_with_unet.py",
+        ["--steps", "2", "--sample-every", "1000", "--batch-size", "2"],
+    )
+
+
+def test_train_image_only_smoke(tmp_path, monkeypatch):
+    # Muon optimizer + velocity-consistency vs EMA + recon loss
+    monkeypatch.chdir(tmp_path)
+    run_example(
+        "train_image_only.py",
+        ["--steps", "2", "--sample-every", "1000", "--batch-size", "2"],
+    )
+
+
+def test_train_image_only_with_unet_smoke(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    run_example(
+        "train_image_only_with_unet.py",
+        ["--steps", "2", "--sample-every", "1000", "--batch-size", "2"],
+    )
+
+
+def test_train_latent_with_text_smoke(tmp_path, monkeypatch):
+    # recon loss 0.1 + unet projections + CFG sampling via EMA
+    monkeypatch.chdir(tmp_path)
+    run_example(
+        "train_latent_with_text.py",
         ["--steps", "2", "--sample-every", "1000", "--batch-size", "2"],
     )
