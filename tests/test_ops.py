@@ -274,3 +274,59 @@ def test_axial_coords():
     # zero-dim and padded
     assert A.coords_for_shape((), 2).shape == (1, 2)
     assert A.coords_for_shape((4,), 3).shape == (4, 3)
+
+
+# ---------------------------------------------------------------------------
+# adaptive ODE integration (capability row of ref torchdiffeq atol/rtol 1e-5)
+# ---------------------------------------------------------------------------
+
+
+def test_odeint_adaptive_matches_fixed_grid():
+    from transfusion_tpu.ops.odeint import odeint
+
+    fn = lambda t, y: -y + jnp.sin(3.0 * t)
+    y0 = jnp.ones((4,))
+    grid = jnp.linspace(0.0, 1.0, 64)
+
+    fixed = odeint(fn, y0, grid, method="midpoint")
+    adaptive = odeint(fn, y0, grid, method="adaptive", atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(adaptive), np.asarray(fixed), atol=1e-4
+    )
+    # exact solution check for dy/dt = -y: y(1) = e^-1
+    dec = odeint(
+        lambda t, y: -y, jnp.ones(()), jnp.linspace(0, 1, 2),
+        method="adaptive", atol=1e-7, rtol=1e-7,
+    )
+    np.testing.assert_allclose(float(dec), np.exp(-1.0), atol=1e-5)
+
+
+def test_odeint_adaptive_under_jit_and_pytree():
+    import jax
+    from transfusion_tpu.ops.odeint import odeint
+
+    fn = lambda t, y: jax.tree.map(lambda x: -0.5 * x, y)
+    y0 = {"a": jnp.ones((2, 3)), "b": jnp.full((5,), 2.0)}
+    out = jax.jit(
+        lambda y: odeint(fn, y, jnp.linspace(0, 1, 2), method="adaptive")
+    )(y0)
+    np.testing.assert_allclose(
+        np.asarray(out["a"]), np.exp(-0.5) * np.ones((2, 3)), atol=1e-4
+    )
+
+
+def test_generate_modality_only_adaptive():
+    import jax
+    from transfusion_tpu.models.transfusion import Transfusion
+
+    model = Transfusion(
+        num_text_tokens=16, dim_latent=4, modality_default_shape=(2, 2),
+        transformer=dict(dim=16, depth=1, dim_head=8, heads=2),
+        pad_multiple=16, odeint_method="adaptive",
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+    out = model.generate_modality_only(
+        params, rng=jax.random.PRNGKey(1), modality_type=0, modality_steps=8
+    )
+    assert np.asarray(out).shape == (1, 2, 2, 4)
+    assert np.isfinite(np.asarray(out)).all()

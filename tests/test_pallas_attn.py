@@ -25,8 +25,28 @@ def make_qkv(b=2, h=2, n=256, d=64, seed=0):
 
 def test_supported_gate():
     assert supported(256, 64)
-    assert not supported(100, 64)
+    assert supported(100, 64)  # non-aligned n: padded to 128 internally
     assert not supported(256, 48)
+
+
+def test_unaligned_length_padding_parity():
+    """n not a multiple of 128 goes through the internal pad + slice."""
+    q, k, v = make_qkv(b=1, h=2, n=200)
+    spans = jnp.array([[[0, 30, 50]]], jnp.int32)
+    got = flash_attention(q, k, v, spans, False, 50.0)
+    want = _reference_attention(q, k, v, spans, False, 50.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def f_flash(q, k, v):
+        return (flash_attention(q, k, v, spans, False, 50.0) ** 2).sum()
+
+    def f_dense(q, k, v):
+        return (_reference_attention(q, k, v, spans, False, 50.0) ** 2).sum()
+
+    gf = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(f_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
 def test_causal_parity():
@@ -139,3 +159,80 @@ def test_streamed_kernel_matches_dense(monkeypatch):
     got = K.flash_attention(q, k, v, spans, False, 50.0)
     want = _reference_attention(q, k, v, spans, False, 50.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_streamed_backward_matches_dense(monkeypatch):
+    """Force the HBM-streamed backward (n*d beyond the resident envelope)
+    and check gradient parity for spans and causal-only masks."""
+    import transfusion_tpu.ops.pallas_attn_kernel as K
+
+    monkeypatch.setattr(K, "_MAX_N_TIMES_D_RESIDENT", 1)
+    monkeypatch.setattr(K, "_MAX_N_TIMES_D_BWD", 1)
+
+    for spans, causal in [
+        (jnp.array([[[0, 40, 100], [1, 150, 64]]], jnp.int32), False),
+        (None, True),
+    ]:
+        q, k, v = make_qkv(b=1, h=2, n=256)
+
+        def f_flash(q, k, v):
+            return (K.flash_attention(q, k, v, spans, causal, 50.0) ** 2).sum()
+
+        def f_dense(q, k, v):
+            return (_reference_attention(q, k, v, spans, causal, 50.0) ** 2).sum()
+
+        gf = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+        gd = jax.grad(f_dense, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gd):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_streamed_backward_through_training_loss(monkeypatch):
+    """Streamed fwd+bwd wired through the full joint loss matches dense."""
+    import transfusion_tpu.ops.pallas_attn_kernel as K
+    from transfusion_tpu.models.transfusion import Transfusion
+
+    monkeypatch.setattr(K, "_MAX_N_TIMES_D_RESIDENT", 1)
+    monkeypatch.setattr(K, "_MAX_N_TIMES_D_BWD", 1)
+
+    def build(attn_impl):
+        return Transfusion(
+            num_text_tokens=32,
+            dim_latent=8,
+            modality_default_shape=(2, 2),
+            transformer=dict(dim=32, depth=2, dim_head=32, heads=2,
+                             attn_impl=attn_impl),
+            pad_multiple=16,
+        )
+
+    rng = np.random.default_rng(0)
+    batch = [
+        [
+            rng.integers(0, 32, 6).astype(np.int32),
+            (0, rng.standard_normal((2, 2, 8)).astype(np.float32)),
+        ]
+        for _ in range(2)
+    ]
+
+    def loss_and_grad(model):
+        params = model.init_params(jax.random.PRNGKey(0))
+        packed = jax.tree.map(jnp.asarray, model.pack(batch))
+
+        def f(p):
+            total, _ = model._loss_impl(
+                p, packed, jax.random.PRNGKey(1), None, None,
+                prob_uncond=0.0, velocity_delta=1e-3, train=False,
+            )
+            return total
+
+        return jax.value_and_grad(f)(params)
+
+    l_d, g_d = loss_and_grad(build("dense"))
+    l_f, g_f = loss_and_grad(build("flash"))
+    np.testing.assert_allclose(float(l_f), float(l_d), rtol=1e-5)
+    flat_d = jax.tree_util.tree_leaves(g_d)
+    flat_f = jax.tree_util.tree_leaves(g_f)
+    for a, b in zip(flat_f, flat_d):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4
+        )

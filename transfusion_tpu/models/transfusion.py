@@ -1458,6 +1458,24 @@ class Transfusion:
                 return sample_items
             return self.decode_modalities(sample_items)
 
+        # length-bucketed packing: the jitted step functions retrace per
+        # padded length, and text grows across the loop — pad to the next
+        # power-of-two multiple of pad_multiple so the number of traces is
+        # O(log max_length) instead of O(max_length / pad_multiple), each a
+        # 0.5-1 s remote compile on the axon backend
+        def bucket_pack(samples):
+            packed = self.pack(samples, wrap_sos_eos=False, add_meta=False)
+            L = packed.text.shape[1]
+            mult = self.pad_multiple
+            chunks = max(1, -(-L // mult))
+            bucket = mult * (1 << (chunks - 1).bit_length())
+            if bucket != L:
+                packed = self.pack(
+                    samples, wrap_sos_eos=False, add_meta=False,
+                    pad_multiple=bucket,
+                )
+            return packed
+
         num_past_modalities = sum(1 for it in sample_items if isinstance(it, tuple))
         curr_length = 0
         curr_modality_id = None
@@ -1485,13 +1503,8 @@ class Transfusion:
 
         while curr_length <= max_length:
             if is_decoding_text:
-                packed = self.pack(
-                    [sample_items], wrap_sos_eos=False, add_meta=False
-                )
+                packed = bucket_pack([sample_items])
                 rng, key = jax.random.split(rng)
-                sig = (packed.seq_len, tuple(
-                    (g.modality_type, g.latent_shape, g.k) for g in packed.groups
-                ))
                 fn = self._get_jit(
                     "sample_text_step",
                     self._sample_text_step_impl,
@@ -1544,9 +1557,7 @@ class Transfusion:
                 if use_cfg:
                     ode_samples.append([*sample_items, (mid, placeholder)])
 
-                packed = self.pack(
-                    ode_samples, wrap_sos_eos=False, add_meta=False
-                )
+                packed = bucket_pack(ode_samples)
                 if use_cfg:
                     # uncond row: every text id -> null (reference :1833-1845)
                     text = np.asarray(packed.text).copy()

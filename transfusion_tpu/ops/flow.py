@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from transfusion_tpu.ops.norms import safe_log
+from transfusion_tpu.utils.typing import Array, Float, typecheck
 
 
 def _append_dims(t, ndims: int):
@@ -48,7 +49,10 @@ def model_output_to_flow(out, noised, times, eps: float = 5e-2):
     return (out - noised) / jnp.clip(1.0 - times, min=eps)
 
 
-def min_p_filter(logits, min_p: float = 0.1):
+@typecheck
+def min_p_filter(
+    logits: Float[Array, "... v"], min_p: float = 0.1
+) -> Float[Array, "... v"]:
     """Keep logits whose probability >= min_p * max probability, else -inf.
 
     Reference transfusion.py:662-666 (Nguyen et al. 2024, arXiv:2407.01082).

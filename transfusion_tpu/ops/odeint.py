@@ -17,7 +17,7 @@ from typing import Callable, Literal
 import jax
 import jax.numpy as jnp
 
-Method = Literal["euler", "midpoint", "heun", "rk4"]
+Method = Literal["euler", "midpoint", "heun", "rk4", "adaptive"]
 
 
 def _euler_step(fn, t0, dt, y):
@@ -58,18 +58,96 @@ _STEPPERS = {
 }
 
 
+def odeint_adaptive(
+    fn: Callable,
+    y0,
+    t0: float,
+    t1: float,
+    atol: float = 1e-5,
+    rtol: float = 1e-5,
+    max_steps: int = 4096,
+):
+    """Tolerance-controlled adaptive Heun integration from t0 to t1.
+
+    Capability row of the reference's torchdiffeq odeint with
+    atol/rtol=1e-5 (reference transfusion.py:1280-1284, 1500 — note its
+    'midpoint' method is a torchdiffeq *fixed-grid* solver, so the
+    tolerances are inert there; this provides genuinely adaptive stepping).
+
+    Single `lax.while_loop` on device: Heun step with its embedded Euler
+    predictor as the error estimate; accepted when
+    max|heun - euler| <= atol + rtol * max|y|, step size adapted by the
+    standard 0.9 * ratio^(-1/2) rule clipped to [0.2, 5]. Forward
+    integration only (sampling path — no reverse-mode autodiff through the
+    while_loop).
+    """
+    t0 = jnp.asarray(t0, jnp.float32)
+    t1 = jnp.asarray(t1, jnp.float32)
+    span = t1 - t0
+    leaves = jax.tree_util.tree_leaves(y0)
+
+    def max_abs(tree):
+        return jnp.max(
+            jnp.stack(
+                [jnp.max(jnp.abs(x.astype(jnp.float32))) for x in jax.tree_util.tree_leaves(tree)]
+            )
+        )
+
+    def cond(state):
+        t, _, _, n = state
+        return (t < t1 - 1e-7 * jnp.abs(span)) & (n < max_steps)
+
+    def body(state):
+        t, y, dt, n = state
+        dt = jnp.minimum(dt, t1 - t)
+        k1 = fn(t, y)
+        y_euler = jax.tree.map(lambda y_, d_: y_ + dt * d_, y, k1)
+        k2 = fn(t + dt, y_euler)
+        y_heun = jax.tree.map(
+            lambda y_, a, b: y_ + dt * 0.5 * (a + b), y, k1, k2
+        )
+        err = max_abs(jax.tree.map(lambda a, b: (a - b) * (dt * 0.5), k1, k2))
+        tol = atol + rtol * max_abs(y)
+        ratio = err / jnp.maximum(tol, 1e-30)
+        accept = ratio <= 1.0
+
+        y_next = jax.tree.map(
+            lambda new, old: jnp.where(accept, new, old), y_heun, y
+        )
+        t_next = jnp.where(accept, t + dt, t)
+        factor = jnp.clip(0.9 * jax.lax.rsqrt(jnp.maximum(ratio, 1e-10)), 0.2, 5.0)
+        dt_next = jnp.maximum(dt * factor, 1e-5 * jnp.abs(span))
+        return t_next, y_next, dt_next, n + 1
+
+    init_dt = span / 16.0
+    _, y_final, _, _ = jax.lax.while_loop(cond, body, (t0, y0, init_dt, 0))
+    return y_final
+
+
 def odeint(
     fn: Callable,
     y0,
     times,
     method: Method = "midpoint",
     return_trajectory: bool = False,
+    atol: float = 1e-5,
+    rtol: float = 1e-5,
 ):
     """Integrate dy/dt = fn(t, y) across the grid `times` (shape [T]).
 
     Matches torchdiffeq's fixed-grid solvers: one `method` step is taken
-    between each adjacent pair of grid points.
+    between each adjacent pair of grid points. `method='adaptive'` instead
+    integrates times[0] -> times[-1] with tolerance-controlled stepping
+    (see `odeint_adaptive`); the framework default stays fixed-grid
+    midpoint, exactly the reference's effective behavior.
     """
+    if method == "adaptive":
+        assert not return_trajectory, (
+            "adaptive integration has no fixed grid to report a trajectory on"
+        )
+        times = jnp.asarray(times)
+        return odeint_adaptive(fn, y0, times[0], times[-1], atol=atol, rtol=rtol)
+
     stepper = _STEPPERS[method]
     times = jnp.asarray(times)
 

@@ -488,6 +488,212 @@ def _bwd_dq_kernel(
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
 
 
+def _bwd_dkv_kernel_streamed(
+    spans_ref, q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+    dk_ref, dv_ref, dk_scr, dv_scr,
+    *, use_spans, softcap, num_spans, scale, n, bq, bk,
+):
+    """Streamed dk/dv: grid (b, h, nk, nq). K/V block stays resident (index
+    constant in the innermost dim); q/do/lse/delta blocks stream through the
+    4th grid dimension with Pallas double-buffering; dk/dv accumulate in
+    VMEM scratch. Sequence length bounded by HBM, not VMEM."""
+    b = pl.program_id(0)
+    ik = pl.program_id(2)
+    iq = pl.program_id(3)
+    nq = pl.num_programs(3)
+    k_start = ik * bk
+    q_start = iq * bq
+    q_end = q_start + bq - 1
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    blk_any = q_end >= k_start  # causal visibility
+    if use_spans:
+        for sp in range(num_spans):
+            off = spans_ref[b, sp, 1]
+            ln = spans_ref[b, sp, 2]
+            blk_any = blk_any | (
+                (ln > 0) & (q_end >= off) & (k_start < off + ln)
+            )
+
+    @pl.when(blk_any)
+    def _compute():
+        q_blk = q_ref[0, 0].astype(jnp.float32)
+        do_blk = do_ref[0, 0].astype(jnp.float32)
+        lse_blk = lse_ref[0, 0, 0:1, :].T  # [bq, 1]
+        delta_blk = delta_ref[0, 0, 0:1, :].T
+        k_blk = k_ref[0, 0].astype(jnp.float32)
+        v_blk = v_ref[0, 0].astype(jnp.float32)
+
+        p, s_cap = _recompute_p(
+            q_blk, k_blk, spans_ref, b, q_start, k_start, lse_blk,
+            scale=scale, softcap=softcap, use_spans=use_spans,
+            num_spans=num_spans, bq=bq, bk=bk,
+        )
+        dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+            p, do_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do_blk, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_blk)
+        if softcap > 0:
+            ds = ds * (1.0 - (s_cap / softcap) ** 2)
+        dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+            ds, q_blk * scale, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(iq == nq - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel_streamed(
+    spans_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, q_ref,
+    dq_ref, dq_scr,
+    *, use_spans, softcap, num_spans, scale, n, bq, bk,
+):
+    """Streamed dq: grid (b, h, nq, nk). Q-side blocks resident, K/V blocks
+    stream; dq accumulates in VMEM scratch."""
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+    q_start = iq * bq
+    q_end = q_start + bq - 1
+    k_start = ik * bk
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    blk_any = q_end >= k_start
+    if use_spans:
+        for sp in range(num_spans):
+            off = spans_ref[b, sp, 1]
+            ln = spans_ref[b, sp, 2]
+            blk_any = blk_any | (
+                (ln > 0) & (q_end >= off) & (k_start < off + ln)
+            )
+
+    @pl.when(blk_any)
+    def _compute():
+        q_blk = q_ref[0, 0].astype(jnp.float32)
+        do_blk = do_ref[0, 0].astype(jnp.float32)
+        lse_blk = lse_ref[0, 0, 0:1, :].T
+        delta_blk = delta_ref[0, 0, 0:1, :].T
+        k_blk = k_ref[0, 0].astype(jnp.float32)
+        v_blk = v_ref[0, 0].astype(jnp.float32)
+
+        p, s_cap = _recompute_p(
+            q_blk, k_blk, spans_ref, b, q_start, k_start, lse_blk,
+            scale=scale, softcap=softcap, use_spans=use_spans,
+            num_spans=num_spans, bq=bq, bk=bk,
+        )
+        dp = jax.lax.dot_general(
+            do_blk, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_blk)
+        if softcap > 0:
+            ds = ds * (1.0 - (s_cap / softcap) ** 2)
+        dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_streamed(q, k, v, spans, o, lse, g, causal, softcap):
+    """HBM-streamed FA2 backward for n*d beyond the resident kernels' VMEM
+    envelope — O(block) VMEM, O(n) HBM; no dense fallback."""
+    b, h, n, d = q.shape
+    use_spans = spans is not None
+    if spans is None:
+        spans = jnp.zeros((b, 1, 3), jnp.int32)
+    m = spans.shape[1]
+    scale = d**-0.5
+    bq = _pick_block(n, (BQ, 256, 128, 64, 32, 16, 8))
+    bk = _pick_block(n, (BK, 512, 256, 128, 64, 32, 16, 8))
+
+    delta = jnp.sum(
+        g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    )
+    delta = jnp.broadcast_to(delta[:, :, None, :], (b, h, 8, n))
+
+    interpret = jax.default_backend() == "cpu"
+    common = dict(
+        use_spans=use_spans, softcap=float(softcap), num_spans=m,
+        scale=scale, n=n, bq=bq, bk=bk,
+    )
+    spec = pl.BlockSpec
+
+    dkv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_streamed, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h, n // bk, n // bq),
+            in_specs=[
+                spec((1, 1, bq, d), lambda b, h, ik, iq, *_: (b, h, iq, 0)),  # q
+                spec((1, 1, bq, d), lambda b, h, ik, iq, *_: (b, h, iq, 0)),  # do
+                spec((1, 1, 8, bq), lambda b, h, ik, iq, *_: (b, h, 0, iq)),  # lse
+                spec((1, 1, 8, bq), lambda b, h, ik, iq, *_: (b, h, 0, iq)),  # delta
+                spec((1, 1, bk, d), lambda b, h, ik, iq, *_: (b, h, ik, 0)),  # k
+                spec((1, 1, bk, d), lambda b, h, ik, iq, *_: (b, h, ik, 0)),  # v
+            ],
+            out_specs=(
+                spec((1, 1, bk, d), lambda b, h, ik, iq, *_: (b, h, ik, 0)),
+                spec((1, 1, bk, d), lambda b, h, ik, iq, *_: (b, h, ik, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bk, d), jnp.float32),
+                pltpu.VMEM((bk, d), jnp.float32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        interpret=interpret,
+    )
+    dk, dv = dkv(spans.astype(jnp.int32), q, g, lse, delta, k, v)
+
+    dq_call = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_streamed, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h, n // bq, n // bk),
+            in_specs=[
+                spec((1, 1, bk, d), lambda b, h, iq, ik, *_: (b, h, ik, 0)),  # k
+                spec((1, 1, bk, d), lambda b, h, iq, ik, *_: (b, h, ik, 0)),  # v
+                spec((1, 1, bq, d), lambda b, h, iq, ik, *_: (b, h, iq, 0)),  # do
+                spec((1, 1, 8, bq), lambda b, h, iq, ik, *_: (b, h, 0, iq)),  # lse
+                spec((1, 1, 8, bq), lambda b, h, iq, ik, *_: (b, h, 0, iq)),  # delta
+                spec((1, 1, bq, d), lambda b, h, iq, ik, *_: (b, h, iq, 0)),  # q
+            ],
+            out_specs=spec(
+                (1, 1, bq, d), lambda b, h, iq, ik, *_: (b, h, iq, 0)
+            ),
+            scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )
+    dq = dq_call(spans.astype(jnp.int32), k, v, g, lse, delta, q)
+
+    return dq, dk, dv
+
+
 def _flash_bwd(q, k, v, spans, o, lse, g, causal, softcap):
     b, h, n, d = q.shape
     use_spans = spans is not None
@@ -561,8 +767,7 @@ def _flash_bwd(q, k, v, spans, o, lse, g, causal, softcap):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def flash_attention(q, k, v, spans=None, causal=False, softcap=50.0):
-    """Flash attention with the transfusion mask. q,k,v: [b, h, n, d]."""
+def _flash_attention_core(q, k, v, spans, causal=False, softcap=50.0):
     return _flash_fwd(q, k, v, spans, causal, softcap)
 
 
@@ -575,32 +780,54 @@ def _bwd(causal, softcap, res, g):
     q, k, v, spans, o, lse = res
     n, d = q.shape[2], q.shape[3]
     if n * d > _MAX_N_TIMES_D_BWD:
-        # beyond the backward kernels' VMEM envelope: dense recompute
-        # fallback (a fully streamed backward is the remaining follow-up)
-        from transfusion_tpu.ops.pallas_attn import _reference_attention
-
-        def f(q, k, v):
-            return _reference_attention(q, k, v, spans, causal, softcap)
-
-        _, vjp = jax.vjp(f, q, k, v)
-        dq, dk, dv = vjp(g)
+        # beyond the resident kernels' VMEM envelope: HBM-streamed backward
+        # (O(block) VMEM — no dense fallback, no O(n^2) memory)
+        dq, dk, dv = _flash_bwd_streamed(
+            q, k, v, spans, o, lse, g, causal, softcap
+        )
         return dq, dk, dv, None
     dq, dk, dv = _flash_bwd(q, k, v, spans, o, lse, g, causal, softcap)
     return dq, dk, dv, None
 
 
-flash_attention.defvjp(_fwd, _bwd)
+_flash_attention_core.defvjp(_fwd, _bwd)
+
+# Mosaic requires block last-two dims divisible by (8, 128) (or equal to the
+# array dim); padding every sequence to a 128 multiple keeps the bq >= 128
+# lse/output blocks legal for ANY caller length. Padded query rows see no
+# keys (l==0 guard) and are sliced off; padded key columns are never visible
+# to real rows (causality needs j <= i < n_real; span rectangles end < n_real)
+# — so padding is semantically inert on both the forward and backward.
+_SEQ_PAD = 128
+
+
+def flash_attention(q, k, v, spans=None, causal=False, softcap=50.0):
+    """Flash attention with the transfusion mask. q,k,v: [b, h, n, d];
+    spans: Int[b, m, 3] | None. Shape-checked by the typechecked wrapper
+    `transfusion_flash_attention` (ops/pallas_attn.py) under TYPECHECK."""
+    b, h, n, d = q.shape
+    n_pad = -(-n // _SEQ_PAD) * _SEQ_PAD
+    if n_pad == n:
+        return _flash_attention_core(q, k, v, spans, causal, softcap)
+    pad = ((0, 0), (0, 0), (0, n_pad - n), (0, 0))
+    out = _flash_attention_core(
+        jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad),
+        spans, causal, softcap,
+    )
+    return out[:, :, :n, :]
 
 # VMEM-resident K/V ceiling (with double buffering Mosaic needs ~4x n*d*4
 # bytes of scoped VMEM): beyond it the forward switches to the grid-streamed
 # kernel (one KV block resident, Pallas-pipelined fetches; 2.35x faster than
-# dense at n=8192). The streamed regime's backward currently falls back to
-# dense recompute.
+# dense at n=8192).
 _MAX_N_TIMES_D_RESIDENT = 4096 * 64
-# backward kernels keep one full [n, d] pair (q/do or k/v) in VMEM;
-# verified on hardware at n=8192, d=64 (8.6ms vs 31.3ms dense, 3.7x)
+# resident backward kernels keep one full [n, d] pair (q/do or k/v) in VMEM;
+# verified on hardware at n=8192, d=64 (8.6ms vs 31.3ms dense, 3.7x). Beyond
+# this the streamed backward takes over (O(block) VMEM, O(n) HBM).
 _MAX_N_TIMES_D_BWD = 8192 * 64
-_MAX_N_TIMES_D = 32768 * 64
+# overall cap: streamed fwd+bwd keep only O(block) VMEM; the remaining O(n)
+# HBM-resident state (q/k/v/lse) bounds practical length, not the kernel
+_MAX_N_TIMES_D = 131072 * 64
 
 
 def _pick_block(n: int, candidates) -> int:
@@ -613,8 +840,7 @@ def _pick_block(n: int, candidates) -> int:
 def supported(n: int, d: int) -> bool:
     if jax.default_backend() not in ("tpu", "cpu"):
         return False
-    if n % 8 != 0:  # tile alignment
-        return False
+    # any n is fine — flash_attention pads the sequence to a 128 multiple
     if n * d > _MAX_N_TIMES_D:
         return False
     return d in (32, 64, 128, 256)

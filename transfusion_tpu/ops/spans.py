@@ -17,8 +17,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from transfusion_tpu.utils.typing import Array, Bool, Float, Int, typecheck
 
-def sort_spans_by_offset(spans):
+
+@typecheck
+def sort_spans_by_offset(spans: Int[Array, "b m 3"]):
     """Sort spans by ascending offset, pushing empty (length<=0) rows last.
 
     spans: Int[b, m, 3] -> (sorted spans Int[b, m, 3], sort indices Int[b, m])
@@ -31,7 +34,10 @@ def sort_spans_by_offset(spans):
     return sorted_spans, order
 
 
-def spans_to_instance_mask(seq_len: int, spans):
+@typecheck
+def spans_to_instance_mask(
+    seq_len: int, spans: Int[Array, "b m 3"]
+) -> Bool[Array, "b m {seq_len}"]:
     """Bool[b, m, n]: token j belongs to span instance m.
 
     Empty spans (length <= 0) produce all-False rows.
@@ -42,7 +48,10 @@ def spans_to_instance_mask(seq_len: int, spans):
     return (pos >= offsets) & (pos < offsets + lengths)
 
 
-def spans_to_modality_mask(seq_len: int, spans, num_modalities: int = 1):
+@typecheck
+def spans_to_modality_mask(
+    seq_len: int, spans: Int[Array, "b m 3"], num_modalities: int = 1
+) -> Bool[Array, "b {num_modalities} m {seq_len}"]:
     """Bool[b, t, m, n]: instance mask split per modality type.
 
     Matches reference `modality_positions_to_is_modality_mask`
@@ -54,12 +63,18 @@ def spans_to_modality_mask(seq_len: int, spans, num_modalities: int = 1):
     return type_match[..., None] & inst[:, None, :, :]
 
 
-def spans_to_is_any_modality(seq_len: int, spans):
+@typecheck
+def spans_to_is_any_modality(
+    seq_len: int, spans: Int[Array, "b m 3"]
+) -> Bool[Array, "b {seq_len}"]:
     """Bool[b, n]: token is inside any modality span."""
     return spans_to_instance_mask(seq_len, spans).any(axis=1)
 
 
-def spans_to_attn_mask(seq_len: int, spans):
+@typecheck
+def spans_to_attn_mask(
+    seq_len: int, spans: Int[Array, "b m 3"]
+) -> Bool[Array, "b {seq_len} {seq_len}"]:
     """Bool[b, i, j] transfusion mask: causal OR any modality rectangle.
 
     rectangle_m = (i >= offset_m) & (j < offset_m + length_m)
@@ -80,7 +95,10 @@ def spans_to_attn_mask(seq_len: int, spans):
     return is_causal[None] | rect
 
 
-def spans_to_rotary_positions(seq_len: int, spans):
+@typecheck
+def spans_to_rotary_positions(
+    seq_len: int, spans: Int[Array, "b m 3"]
+) -> Int[Array, "b {seq_len}"]:
     """Int[b, n] rotary position ids with modality interiors collapsed.
 
     All tokens of one modality share a single rotary position: the span is
@@ -96,7 +114,10 @@ def spans_to_rotary_positions(seq_len: int, spans):
     )
 
 
-def spans_to_token_times(seq_len: int, spans, times):
+@typecheck
+def spans_to_token_times(
+    seq_len: int, spans: Int[Array, "b m 3"], times: Float[Array, "b m"]
+) -> Float[Array, "b {seq_len}"]:
     """Float[b, n] per-token time conditioning.
 
     Token inside span instance m gets times[b, m]; text tokens get 0.
