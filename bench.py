@@ -65,10 +65,11 @@ def main():
         state, metrics = trainer.train_step(state, packed, k)
     float(metrics["loss"])
 
-    # best-of-3 repeats: the remote tunnel adds occasional multi-ms stalls
-    # that a single window conflates with device time
+    # best-of-5 repeats: the remote tunnel has multi-second degraded windows
+    # (observed 120k-233k tok/s spread on identical code) that a single
+    # window conflates with device time
     steps, best_dt = 20, float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         for i in range(steps):
             key, k = jax.random.split(key)

@@ -249,6 +249,11 @@ class AdaptiveWrapper(nn.Module):
     dim: int
     dim_cond: int
     ada_ln_zero_init_bias: float = -2.0
+    dtype: Any = jnp.float32  # activation dtype of the residual stream —
+    # the LN statistics and FiLM projections still compute in f32, but
+    # every tensor handed back to the stream is cast so a bf16 model keeps
+    # a bf16 residual (the train step is HBM-bandwidth-bound; an f32
+    # stream doubles the traffic)
 
     @nn.compact
     def __call__(
@@ -267,13 +272,18 @@ class AdaptiveWrapper(nn.Module):
             cond = cond[:, None, :]
 
         # epsilon matches torch nn.LayerNorm (ref :707) so ported reference
-        # weights reproduce identical activations
+        # weights reproduce identical activations; stats in f32
         x_ln = nn.LayerNorm(
-            use_bias=False, use_scale=False, epsilon=1e-5, name="ln"
-        )(x)
+            use_bias=False, use_scale=False, epsilon=1e-5,
+            dtype=jnp.float32, name="ln",
+        )(x).astype(self.dtype)
 
-        gamma_ln = self.param("layernorm_gamma", nn.initializers.zeros, (self.dim,))
-        layerscale = self.param("layerscale", nn.initializers.zeros, (self.dim,))
+        gamma_ln = self.param(
+            "layernorm_gamma", nn.initializers.zeros, (self.dim,)
+        ).astype(self.dtype)
+        layerscale = self.param(
+            "layerscale", nn.initializers.zeros, (self.dim,)
+        ).astype(self.dtype)
 
         if cond is not None:
             film = nn.Dense(
@@ -298,6 +308,8 @@ class AdaptiveWrapper(nn.Module):
                 )  # [b, n, I]
                 film = jnp.einsum("bni,bio->bno", onehot, film)
                 ada_gate = jnp.einsum("bni,bio->bno", onehot, ada_gate)
+            film = film.astype(self.dtype)
+            ada_gate = ada_gate.astype(self.dtype)
             gamma_f, beta_f = jnp.split(film, 2, axis=-1)
 
         def run(fn_in):

@@ -161,10 +161,12 @@ class TransformerBlock(nn.Module):
             name=f"ff_{ind}",
         )
         attn_wrapped = AdaptiveWrapper(
-            fn=attn, dim=self.dim, dim_cond=self.dim * 4, name=f"attn_ada_{ind}"
+            fn=attn, dim=self.dim, dim_cond=self.dim * 4, dtype=self.dtype,
+            name=f"attn_ada_{ind}",
         )
         ff_wrapped = AdaptiveWrapper(
-            fn=ff, dim=self.dim, dim_cond=self.dim * 4, name=f"ff_ada_{ind}"
+            fn=ff, dim=self.dim, dim_cond=self.dim * 4, dtype=self.dtype,
+            name=f"ff_ada_{ind}",
         )
         hc_attn = HyperConnection(
             dim=self.dim, streams=self.streams, fracs=self.fracs,
