@@ -1,4 +1,4 @@
-"""Distributed training: DP x FSDP x TP over a device mesh.
+"""Distributed training: DP x FSDP x TP (x optional SP/context) over a device mesh.
 
 No reference equivalent (the reference's only parallelism is HF accelerate
 DDP in two scripts). Auto-factors the available devices into a
@@ -6,6 +6,12 @@ data x fsdp x tensor mesh; run with virtual devices to try locally:
 
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       python examples/train_distributed.py --steps 10
+
+Sequence (context) parallelism — shard the packed sequence over a 'context'
+axis with ring attention:
+
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python examples/train_distributed.py --steps 10 --context 2
 """
 
 import sys, pathlib
@@ -36,18 +42,26 @@ def factor_devices(n):
 
 def main():
     args = parse_args(default_steps=20, default_sample_every=10**9,
-                      batch_size=8)
+                      batch_size=8, context=1)
 
     n_dev = len(jax.devices())
-    data, fsdp, tensor = factor_devices(n_dev)
-    mesh = make_mesh(data=data, fsdp=fsdp, tensor=tensor)
-    print(f"devices={n_dev} mesh: data={data} fsdp={fsdp} tensor={tensor}")
+    context = max(1, args.context)
+    data, fsdp, tensor = factor_devices(n_dev // context)
+    mesh = make_mesh(data=data, fsdp=fsdp, tensor=tensor, context=context)
+    print(
+        f"devices={n_dev} mesh: data={data} fsdp={fsdp} tensor={tensor} "
+        f"context={context}"
+    )
 
+    tcfg = dict(dim=256, depth=4, dim_head=64, heads=8)
+    if context > 1:
+        # ring attention: KV chunks rotate over the ICI ring, O(n/c) memory
+        tcfg.update(attn_impl="ring", mesh=mesh)
     model = Transfusion(
         num_text_tokens=256,
         dim_latent=32,
         modality_default_shape=(8, 8),
-        transformer=dict(dim=256, depth=4, dim_head=64, heads=8),
+        transformer=tcfg,
         pad_multiple=64,
     )
     trainer = Trainer(model, learning_rate=3e-4, mesh=mesh,

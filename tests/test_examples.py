@@ -100,3 +100,21 @@ def test_train_latent_with_text_smoke(tmp_path, monkeypatch):
         "train_latent_with_text.py",
         ["--steps", "2", "--sample-every", "1000", "--batch-size", "2"],
     )
+
+
+def test_train_distributed_smoke(tmp_path, monkeypatch):
+    # dp x fsdp x tp mesh auto-factored over the 8 virtual devices
+    monkeypatch.chdir(tmp_path)
+    run_example(
+        "train_distributed.py",
+        ["--steps", "2", "--batch-size", "4"],
+    )
+
+
+def test_train_distributed_context_smoke(tmp_path, monkeypatch):
+    # sequence parallelism: --context 2 selects ring attention
+    monkeypatch.chdir(tmp_path)
+    run_example(
+        "train_distributed.py",
+        ["--steps", "2", "--batch-size", "4", "--context", "2"],
+    )

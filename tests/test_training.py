@@ -159,3 +159,36 @@ def test_mesh_sharded_train_step():
     assert np.isfinite(float(metrics["loss"]))
     state, metrics = trainer.train_step(state, tiny_batch(), jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_mesh_sharded_checkpoint_resume(tmp_path):
+    """Save mid-training on a dp x tp mesh, restore, continue — the resumed
+    run must produce the same loss as the uninterrupted one."""
+    mesh = make_mesh(data=2, tensor=2)
+    model = tiny_model()
+    batch = tiny_batch()
+
+    def run(steps, trainer, state):
+        metrics = None
+        for i in range(steps):
+            state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(i))
+        return state, metrics
+
+    t1 = Trainer(model, mesh=mesh, checkpoint_dir=str(tmp_path / "ck"))
+    s1 = t1.init_state(jax.random.PRNGKey(0))
+    s1, _ = run(2, t1, s1)
+    t1.save(s1)
+
+    # uninterrupted: one more step
+    _, want = run(1, t1, s1)
+
+    # resume in a fresh trainer from the checkpoint
+    t2 = Trainer(model, mesh=mesh, checkpoint_dir=str(tmp_path / "ck"))
+    template = t2.init_state(jax.random.PRNGKey(7))  # different init
+    s2 = t2.restore(template)
+    assert s2 is not None and int(s2.step) == 2
+    _, got = run(1, t2, s2)
+
+    np.testing.assert_allclose(
+        float(got["loss"]), float(want["loss"]), rtol=1e-5
+    )
