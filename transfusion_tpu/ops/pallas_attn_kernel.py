@@ -337,11 +337,19 @@ def _flash_fwd(q, k, v, spans, causal, softcap, save_lse: bool = False):
 
     interpret = jax.default_backend() == "cpu"
 
+    # batch/head/q-block grid dims are independent -> megacore-parallel;
+    # the streamed kernel's kv dim carries scratch state -> sequential
+    if streamed:
+        semantics = ("parallel", "parallel", "parallel", "arbitrary")
+    else:
+        semantics = ("parallel", "parallel", "parallel")
+
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=semantics),
     )(spans.astype(jnp.int32), q, k, v)
 
 
@@ -665,6 +673,9 @@ def _flash_bwd_streamed(q, k, v, spans, o, lse, g, causal, softcap):
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
+        ),
     )
     dk, dv = dkv(spans.astype(jnp.int32), q, g, lse, delta, k, v)
 
@@ -688,6 +699,9 @@ def _flash_bwd_streamed(q, k, v, spans, o, lse, g, causal, softcap):
         ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
+        ),
     )
     dq = dq_call(spans.astype(jnp.int32), k, v, g, lse, delta, q)
 
@@ -740,6 +754,9 @@ def _flash_bwd(q, k, v, spans, o, lse, g, causal, softcap):
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")
+        ),
     )
     dk, dv = dkv(spans.astype(jnp.int32), q, g, lse, delta, k, v)
 
@@ -760,6 +777,9 @@ def _flash_bwd(q, k, v, spans, o, lse, g, causal, softcap):
         ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")
+        ),
     )
     dq = dq_call(spans.astype(jnp.int32), k, v, g, lse, delta, q)
 
