@@ -9,6 +9,7 @@ Run: python examples/train_mnist_vae.py --steps 300
 
 import sys, pathlib
 sys.path.insert(0, str(pathlib.Path(__file__).parent))
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
 import flax.linen as nn
 import jax

@@ -7,6 +7,7 @@ Run: python examples/train_text_only.py --steps 200
 
 import sys, pathlib
 sys.path.insert(0, str(pathlib.Path(__file__).parent))
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
 import jax
 import numpy as np

@@ -118,3 +118,12 @@ def test_train_distributed_context_smoke(tmp_path, monkeypatch):
         "train_distributed.py",
         ["--steps", "2", "--batch-size", "4", "--context", "2"],
     )
+
+
+def test_train_distributed_pipeline_smoke(tmp_path, monkeypatch):
+    # pipeline parallelism: GPipe over a data=2 x pipe=4 mesh
+    monkeypatch.chdir(tmp_path)
+    run_example(
+        "train_distributed.py",
+        ["--steps", "2", "--batch-size", "4", "--pipeline", "4"],
+    )

@@ -106,6 +106,10 @@ class Attention(nn.Module):
         rope=None,  # angles Float[b, n, dim_head] | Float[n, dim_head] | None
         cache: Optional[dict] = None,
         value_residual=None,  # Float[b, h, n, dim_head] | None
+        value_residual_valid=None,  # None | Bool[] (traced) — when given,
+        # the mix is applied only where True. Lets a homogeneous scanned /
+        # pipelined stack (parallel/pipeline.py) pass every layer the same
+        # arguments: the first layer runs with valid=False (plain V).
         flash_spec: Optional[dict] = None,  # spans/causal info for Pallas path
         deterministic: bool = True,
     ):
@@ -132,7 +136,11 @@ class Attention(nn.Module):
                 mix = rearrange(mix, "b n h -> b h n 1")
             else:
                 mix = 0.5
-            v = v * mix + value_residual * (1.0 - mix)
+            mixed = v * mix + value_residual * (1.0 - mix)
+            if value_residual_valid is None:
+                v = mixed
+            else:
+                v = jnp.where(value_residual_valid, mixed, v)
 
         if rope is not None:
             angles = rope if rope.ndim > 2 else rope[None]

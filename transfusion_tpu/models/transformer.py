@@ -126,6 +126,7 @@ class TransformerBlock(nn.Module):
         value_residual,  # [b, h, n, dh] | None
         layer_cache,  # dict | None
         flash_spans,  # Int[b, m, 3] | None
+        value_residual_valid=None,  # None | Bool[] — see Attention
     ):
         ind = self.layer_index
 
@@ -195,6 +196,7 @@ class TransformerBlock(nn.Module):
             rope=rope,
             cache=layer_cache,
             value_residual=value_residual,
+            value_residual_valid=value_residual_valid,
             flash_spec=flash_spec,
             deterministic=self.deterministic,
             **adaptive_kwargs,
@@ -388,7 +390,7 @@ class Transformer(nn.Module):
         for ind in range(self.depth):
             layer = ind + 1
 
-            if layer <= (self.depth // 2):
+            if self.unet_skips and layer <= (self.depth // 2):
                 skips.append(s)
 
             has_skip = ind >= (self.depth / 2) and self.unet_skips

@@ -36,18 +36,24 @@ def make_mesh(
     fsdp: int = 1,
     tensor: int = 1,
     context: int = 1,
+    pipe: int = 1,
     devices=None,
 ) -> Mesh:
-    """4-axis device mesh: data x fsdp x tensor x context.
+    """5-axis device mesh: data x fsdp x tensor x context x pipe.
 
     'context' shards the packed sequence dimension (ring / all-gather
-    attention, parallel/context.py); size 1 axes cost nothing under GSPMD.
+    attention, parallel/context.py); 'pipe' carries pipeline stages
+    (parallel/pipeline.py); size 1 axes cost nothing under GSPMD.
     """
     devices = devices if devices is not None else jax.devices()
-    n = data * fsdp * tensor * context
+    n = data * fsdp * tensor * context * pipe
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
-    dev_array = np.asarray(devices[:n]).reshape(data, fsdp, tensor, context)
-    return Mesh(dev_array, axis_names=("data", "fsdp", "tensor", "context"))
+    dev_array = np.asarray(devices[:n]).reshape(
+        data, fsdp, tensor, context, pipe
+    )
+    return Mesh(
+        dev_array, axis_names=("data", "fsdp", "tensor", "context", "pipe")
+    )
 
 
 def _path_str(path) -> str:
