@@ -68,7 +68,10 @@ def test_stack_unstack_roundtrip():
     )
 
 
-def test_pipeline_matches_transformer_joint():
+@pytest.mark.parametrize(
+    "data,pipe,microbatches", [(2, 4, 2), (1, 2, 4)]
+)
+def test_pipeline_matches_transformer_joint(data, pipe, microbatches):
     """Joint path: spans + per-instance times, dense mask."""
     t = _transformer()
     params, x, spans, times_inst = _init(t)
@@ -79,9 +82,9 @@ def test_pipeline_matches_transformer_joint():
         rotary_pos=jnp.arange(n),
     )
 
-    mesh = make_mesh(data=2, pipe=4)
+    mesh = make_mesh(data=data, pipe=pipe)
     out = pipeline_transformer_forward(
-        params, t, mesh, microbatches=2, x=x,
+        params, t, mesh, microbatches=microbatches, x=x,
         times_inst=times_inst, spans=spans, rotary_pos=jnp.arange(n),
     )
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=2e-5)

@@ -167,6 +167,25 @@ def test_remat_matches_no_remat():
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-5)
 
 
+def test_remat_dots_policy_matches():
+    """Selective remat (save matmul outputs) must not change values/grads."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 32))
+    kw = dict(causal=True, times=jnp.full((2, 8), 0.3),
+              spans=jnp.array([[[0, 2, 3]], [[0, 1, 2]]]))
+    a = make_model(depth=4)
+    b = make_model(depth=4, remat=True, remat_policy="dots")
+    params = a.init(jax.random.PRNGKey(1), x, **kw)
+
+    out_a, _ = a.apply(params, x, **kw)
+    out_b, _ = b.apply(params, x, **kw)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
+
+    ga = jax.grad(lambda p: a.apply(p, x, **kw)[0].sum())(params)
+    gb = jax.grad(lambda p: b.apply(p, x, **kw)[0].sum())(params)
+    for la, lb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-5)
+
+
 def test_per_instance_conditioning_matches_per_token():
     """times_inst (per-instance adaLN) must equal the per-token path exactly."""
     from transfusion_tpu.ops.spans import spans_to_token_times

@@ -230,6 +230,10 @@ class Transformer(nn.Module):
     rope_theta: float = 10000.0
     fourier_seed: int = 0
     remat: bool = False
+    remat_policy: str = "full"  # 'full' | 'dots' — 'dots' saves matmul
+    # outputs and rematerializes only elementwise ops in the backward
+    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable): most of
+    # full remat's memory win at a fraction of its recompute FLOPs
     dtype: Any = jnp.float32
 
     def _build_mask(self, n, cache, causal, spans, attn_mask, batch):
@@ -385,7 +389,14 @@ class Transformer(nn.Module):
 
         block_cls = TransformerBlock
         if self.remat and cache is None:
-            block_cls = nn.remat(TransformerBlock, prevent_cse=True)
+            policy = None
+            if self.remat_policy == "dots":
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            else:
+                assert self.remat_policy == "full", self.remat_policy
+            block_cls = nn.remat(
+                TransformerBlock, prevent_cse=True, policy=policy
+            )
 
         for ind in range(self.depth):
             layer = ind + 1
