@@ -170,3 +170,104 @@ def test_sample_trace_count_bounded_by_buckets(monkeypatch):
     assert len(traces) <= 4, f"{len(traces)} traces at lengths {traces}"
     for L in traces:
         assert L % 16 == 0 and (L // 16) & ((L // 16) - 1) == 0, traces
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized KV cache (serving path; make_kv_cache(quantize='int8'))
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_rows_roundtrip_bound():
+    from transfusion_tpu.models.layers import _quantize_rows
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 16))
+    q, s = _quantize_rows(x)
+    assert q.dtype == jnp.int8 and s.shape == (2, 4, 8, 1)
+    err = np.abs(np.asarray(q, np.float32) * np.asarray(s) - np.asarray(x))
+    # symmetric absmax: |err| <= scale/2 per row
+    assert (err <= np.asarray(s) * 0.5 + 1e-6).all()
+    # all-zero rows stay zero
+    q0, s0 = _quantize_rows(jnp.zeros((1, 3)))
+    assert np.asarray(q0).max() == 0 and np.isfinite(np.asarray(s0)).all()
+
+
+def test_int8_cache_decode_logits_close():
+    """Teacher-forced cached decode: int8 cache logits track the fp cache."""
+    model = make_model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    items = [np.asarray([model.sos_id, 1, 2, 3], np.int32)]
+    packed = jax.tree.map(
+        jnp.asarray, model.pack([items], wrap_sos_eos=False, add_meta=False)
+    )
+
+    outs = {}
+    for quant in (False, True):
+        last, cache = model._prefill_impl(params, packed, cap=64, quantize=quant)
+        if quant:
+            assert cache["k"].dtype == jnp.int8 and "k_scale" in cache
+        logits_seq = [np.asarray(last[0])]
+        for i, tok in enumerate([4, 5, 6]):
+            _, logits, cache = model._decode_text_impl(
+                params, cache,
+                jnp.asarray([[tok]], jnp.int32),
+                jnp.asarray([[4 + i]], jnp.int32),
+                jax.random.PRNGKey(0),
+                temperature=1.0, min_p=0.1,
+            )
+            logits_seq.append(np.asarray(logits))
+        outs[quant] = np.stack(logits_seq)
+
+    # prefill logits are identical (nothing read from the quantized slots
+    # affects the last position beyond its own row's rounding); decode logits
+    # accumulate per-row int8 rounding only
+    np.testing.assert_allclose(outs[True], outs[False], atol=0.05)
+    spread = np.abs(outs[False]).max()
+    assert spread > 0.05, "degenerate logits make this test vacuous"
+
+
+def test_int8_cache_memory_halves():
+    from transfusion_tpu.models.transformer import make_kv_cache
+
+    fp = make_kv_cache(2, 1, 4, 128, 8, dtype=jnp.bfloat16)
+    q8 = make_kv_cache(2, 1, 4, 128, 8, quantize="int8")
+    fp_bytes = fp["k"].nbytes + fp["v"].nbytes
+    q8_bytes = (
+        q8["k"].nbytes + q8["v"].nbytes
+        + q8["k_scale"].nbytes + q8["v_scale"].nbytes
+    )
+    # int8 payload + f32/row scale: 8+4=12 bytes/row-of-8 vs bf16's 16.
+    # at realistic dim_head 64: 68 vs 128 (~1.9x); assert the d=8 ratio here
+    assert q8_bytes < fp_bytes, (q8_bytes, fp_bytes)
+    big_fp = make_kv_cache(1, 1, 1, 16, 64, dtype=jnp.bfloat16)
+    big_q8 = make_kv_cache(1, 1, 1, 16, 64, quantize="int8")
+    ratio = (big_fp["k"].nbytes + big_fp["v"].nbytes) / (
+        big_q8["k"].nbytes + big_q8["v"].nbytes
+        + big_q8["k_scale"].nbytes + big_q8["v_scale"].nbytes
+    )
+    assert ratio > 1.8, ratio
+
+
+def test_cached_sample_kv_quantize_end_to_end():
+    """Full cached sampling loop with the int8 cache: text + modality + text."""
+    model = make_model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    out = model.sample(
+        params, prompt=[np.asarray(model.som_ids[0])],
+        rng=jax.random.PRNGKey(3), max_length=8, modality_steps=2,
+        cache_kv=True, kv_quantize=True,
+    )
+    lat = next(o[1] for o in out if isinstance(o, tuple))
+    assert np.isfinite(np.asarray(lat, np.float32)).all()
+
+
+def test_generate_text_only_kv_quantize():
+    model = make_model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    prompt = jnp.asarray([[model.sos_id, 1, 2]], jnp.int32)
+    toks = model.generate_text_only(
+        params, prompt, seq_len=11, rng=jax.random.PRNGKey(1),
+        kv_quantize=True,
+    )
+    assert toks.shape == (1, 8)
+    assert (np.asarray(toks) >= 0).all()
+    assert (np.asarray(toks) < model.num_text_tokens).all()

@@ -49,6 +49,17 @@ def random_fourier_embed(times, dim: int, seed: int = 0, weights=None):
     return jnp.concatenate([times[..., None], jnp.sin(freqs), jnp.cos(freqs)], axis=-1)
 
 
+def _quantize_rows(x, eps: float = 1e-8):
+    """Symmetric absmax int8 quantization over the last axis.
+
+    x: Float[..., d] -> (Int8[..., d], Float32[..., 1] scale) with
+    x ~= q * scale. Rows of exact zeros get scale eps (q = 0)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, eps)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
 class RMSNorm(nn.Module):
     dim: int
 
@@ -150,9 +161,40 @@ class Attention(nn.Module):
 
         if cache is not None:
             idx = cache["idx"]
-            k_full = jax.lax.dynamic_update_slice_in_dim(cache["k"], k, idx, axis=2)
-            v_full = jax.lax.dynamic_update_slice_in_dim(cache["v"], v, idx, axis=2)
-            new_cache = {"k": k_full, "v": v_full, "idx": idx + n}
+            if cache["k"].dtype == jnp.int8:
+                # int8 KV cache (make_kv_cache(quantize='int8')): symmetric
+                # absmax quantization per (token, head) row, post-RoPE. The
+                # dequantize below is a cast+multiply that XLA fuses into the
+                # attention matmuls, so reads cost int8 HBM bandwidth.
+                k_q, k_s = _quantize_rows(k)
+                v_q, v_s = _quantize_rows(v)
+                k_buf = jax.lax.dynamic_update_slice_in_dim(
+                    cache["k"], k_q, idx, axis=2
+                )
+                v_buf = jax.lax.dynamic_update_slice_in_dim(
+                    cache["v"], v_q, idx, axis=2
+                )
+                k_sc = jax.lax.dynamic_update_slice_in_dim(
+                    cache["k_scale"], k_s, idx, axis=2
+                )
+                v_sc = jax.lax.dynamic_update_slice_in_dim(
+                    cache["v_scale"], v_s, idx, axis=2
+                )
+                new_cache = {
+                    "k": k_buf, "v": v_buf,
+                    "k_scale": k_sc, "v_scale": v_sc,
+                    "idx": idx + n,
+                }
+                k_full = (k_buf * k_sc).astype(k.dtype)
+                v_full = (v_buf * v_sc).astype(v.dtype)
+            else:
+                k_full = jax.lax.dynamic_update_slice_in_dim(
+                    cache["k"], k, idx, axis=2
+                )
+                v_full = jax.lax.dynamic_update_slice_in_dim(
+                    cache["v"], v, idx, axis=2
+                )
+                new_cache = {"k": k_full, "v": v_full, "idx": idx + n}
             if "mask" in cache:
                 new_cache["mask"] = cache["mask"]
         else:

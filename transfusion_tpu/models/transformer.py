@@ -56,6 +56,7 @@ def make_kv_cache(
     dim_head: int,
     dtype=jnp.float32,
     track_mask: bool = False,
+    quantize: Optional[str] = None,  # None | 'int8'
 ):
     """Preallocated KV ring buffer for `depth` layers.
 
@@ -63,13 +64,31 @@ def make_kv_cache(
     so padded prefills work: the *caller* marks which freshly-written slots
     are real (update the mask before each forward); without it validity is
     simply arange(max_len) < idx + n.
+
+    quantize='int8' stores K/V as int8 with a per-(token, head) float32
+    scale (symmetric absmax quantization, applied post-RoPE at write time in
+    `Attention`). Long-history decode is bound by streaming the cache from
+    HBM, so halving its footprint (vs bf16; 4x vs f32) buys bandwidth
+    directly; dequantize-on-read fuses into the attention matmuls. The
+    reference has no serving path at all (its generate_text_only re-forwards
+    the full prefix per token, ref transfusion.py:2015-2038).
     """
     shape = (depth, batch, heads, max_len, dim_head)
-    cache = {
-        "k": jnp.zeros(shape, dtype),
-        "v": jnp.zeros(shape, dtype),
-        "idx": jnp.zeros((), jnp.int32),
-    }
+    if quantize is not None:
+        assert quantize == "int8", quantize
+        cache = {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.zeros((*shape[:-1], 1), jnp.float32),
+            "v_scale": jnp.zeros((*shape[:-1], 1), jnp.float32),
+            "idx": jnp.zeros((), jnp.int32),
+        }
+    else:
+        cache = {
+            "k": jnp.zeros(shape, dtype),
+            "v": jnp.zeros(shape, dtype),
+            "idx": jnp.zeros((), jnp.int32),
+        }
     if track_mask:
         cache["mask"] = jnp.zeros((batch, max_len), bool)
     return cache
@@ -384,7 +403,7 @@ class Transformer(nn.Module):
 
         skips = []
         value_residual = None
-        new_k, new_v = [], []
+        new_layer_caches = []
         new_idx = None
 
         block_cls = TransformerBlock
@@ -410,10 +429,11 @@ class Transformer(nn.Module):
             layer_cache = None
             if cache is not None:
                 layer_cache = {
-                    "k": cache["k"][ind],
-                    "v": cache["v"][ind],
-                    "idx": cache["idx"],
+                    kk: cache[kk][ind]
+                    for kk in ("k", "v", "k_scale", "v_scale")
+                    if kk in cache
                 }
+                layer_cache["idx"] = cache["idx"]
                 if "mask" in cache:
                     layer_cache["mask"] = cache["mask"]
 
@@ -448,8 +468,7 @@ class Transformer(nn.Module):
             if value_residual is None:
                 value_residual = attn_values
             if layer_new_cache is not None:
-                new_k.append(layer_new_cache["k"])
-                new_v.append(layer_new_cache["v"])
+                new_layer_caches.append(layer_new_cache)
                 new_idx = layer_new_cache["idx"]
 
         x = reduce_stream(s)
@@ -460,10 +479,11 @@ class Transformer(nn.Module):
         new_cache = None
         if cache is not None:
             new_cache = {
-                "k": jnp.stack(new_k),
-                "v": jnp.stack(new_v),
-                "idx": new_idx,
+                kk: jnp.stack([lc[kk] for lc in new_layer_caches])
+                for kk in ("k", "v", "k_scale", "v_scale")
+                if kk in cache
             }
+            new_cache["idx"] = new_idx
             if "mask" in cache:
                 new_cache["mask"] = cache["mask"]
 

@@ -1167,7 +1167,9 @@ class Transfusion:
     # the full prefix every step)
     # ------------------------------------------------------------------
 
-    def _gen_text_impl(self, params, prompt, rng, *, steps, temperature, min_p):
+    def _gen_text_impl(
+        self, params, prompt, rng, *, steps, temperature, min_p, quantize=False
+    ):
         from transfusion_tpu.ops.flow import gumbel_sample
 
         b, n0 = prompt.shape
@@ -1175,7 +1177,8 @@ class Transfusion:
         heads = self.transformer_cfg.get("heads", 8)
         dim_head = self.transformer_cfg.get("dim_head", 64)
         cache = make_kv_cache(
-            depth, b, heads, n0 + steps, dim_head, dtype=self.dtype
+            depth, b, heads, n0 + steps, dim_head, dtype=self.dtype,
+            quantize="int8" if quantize else None,
         )
         logits, cache = self.core.apply(
             params, prompt, cache, method="text_forward"
@@ -1210,6 +1213,8 @@ class Transfusion:
         rng=None,
         temperature: float = 1.5,
         min_p: float = 0.1,
+        kv_quantize: bool = False,  # int8 KV cache (serving: halves the
+        # decode-time cache bandwidth vs bf16; see make_kv_cache)
     ):
         prompt = jnp.asarray(prompt)
         steps = max(0, seq_len - prompt.shape[-1])
@@ -1219,11 +1224,12 @@ class Transfusion:
         fn = self._get_jit(
             "gen_text",
             functools.partial(self._gen_text_impl),
-            static_argnames=("steps", "temperature", "min_p"),
+            static_argnames=("steps", "temperature", "min_p", "quantize"),
         )
         return fn(
             params, prompt, rng,
             steps=steps, temperature=float(temperature), min_p=float(min_p),
+            quantize=bool(kv_quantize),
         )
 
     # ------------------------------------------------------------------
@@ -1392,6 +1398,8 @@ class Transfusion:
         text_min_p: float = 0.1,
         cache_kv: bool = False,  # KV-cached fast path: prefill once, then
         # per-token text decode + tail-only ODE steps (_sample_cached)
+        kv_quantize: bool = False,  # with cache_kv: int8 KV cache (serving —
+        # halves cache HBM traffic vs bf16; see make_kv_cache)
         fixed_modality_shape: Optional[tuple] = None,
         init_modality_noise=None,
         modality_steps: int = 16,
@@ -1452,7 +1460,7 @@ class Transfusion:
             sample_items = self._sample_cached(
                 params, sample_items, rng, max_length, text_temperature,
                 text_min_p, fixed_modality_shape, init_modality_noise,
-                modality_steps, cfg_scale,
+                modality_steps, cfg_scale, kv_quantize=kv_quantize,
             )
             if return_unprocessed_modalities:
                 return sample_items
@@ -1625,7 +1633,7 @@ class Transfusion:
     # cached sampling fast path (cache_kv=True)
     # ------------------------------------------------------------------
 
-    def _prefill_impl(self, params, packed, *, cap):
+    def _prefill_impl(self, params, packed, *, cap, quantize=False):
         from transfusion_tpu.models.transformer import make_kv_cache
 
         b = packed.text.shape[0]
@@ -1633,7 +1641,8 @@ class Transfusion:
         heads = self.transformer_cfg.get("heads", 8)
         dim_head = self.transformer_cfg.get("dim_head", 64)
         cache = make_kv_cache(
-            depth, b, heads, cap, dim_head, dtype=self.dtype, track_mask=True
+            depth, b, heads, cap, dim_head, dtype=self.dtype, track_mask=True,
+            quantize="int8" if quantize else None,
         )
         cache["mask"] = jnp.arange(cap)[None, :] < packed.lengths[:, None]
         m = packed.spans.shape[1]
@@ -1700,7 +1709,7 @@ class Transfusion:
     def _sample_cached(
         self, params, sample_items, rng, max_length, text_temperature,
         text_min_p, fixed_modality_shape, init_modality_noise, modality_steps,
-        cfg_scale,
+        cfg_scale, kv_quantize=False,
     ):
         """KV-cached sampling loop: prefill once, then per-token text decode
         and tail-only ODE steps. Functionally equivalent to the uncached
@@ -1730,9 +1739,13 @@ class Transfusion:
         def prefill(items, this_cap):
             packed = self.pack([items], wrap_sos_eos=False, add_meta=False)
             fn = self._get_jit(
-                "sample_prefill", self._prefill_impl, static_argnames=("cap",)
+                "sample_prefill", self._prefill_impl,
+                static_argnames=("cap", "quantize"),
             )
-            return fn(params, jax.tree.map(jnp.asarray, packed), cap=this_cap)
+            return fn(
+                params, jax.tree.map(jnp.asarray, packed), cap=this_cap,
+                quantize=bool(kv_quantize),
+            )
 
         last_logits, cache = prefill(sample_items, cap)
         slots_used = self.pack(
