@@ -20,14 +20,18 @@ import numpy as np
 def main():
     from transfusion_tpu.models.transfusion import Transfusion
 
+    attn_impl = sys.argv[1] if len(sys.argv) > 1 else "flash"
     model = Transfusion(
         num_text_tokens=256,
         dim_latent=32,
         modality_default_shape=(14, 14),
-        transformer=dict(dim=384, depth=8, dim_head=64, heads=8),
+        transformer=dict(
+            dim=384, depth=8, dim_head=64, heads=8, attn_impl=attn_impl
+        ),
         pad_multiple=64,
         dtype=jnp.bfloat16,
     )
+    print(f"attn_impl={attn_impl}", flush=True)
     params = model.init_params(jax.random.PRNGKey(0))
 
     steps = 64

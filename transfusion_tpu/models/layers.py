@@ -122,6 +122,13 @@ class Attention(nn.Module):
         # pipelined stack (parallel/pipeline.py) pass every layer the same
         # arguments: the first layer runs with valid=False (plain V).
         flash_spec: Optional[dict] = None,  # spans/causal info for Pallas path
+        decode_bias=None,  # Float[b, 8, cap] additive validity — routes
+        # cached decode through the Pallas decode kernel (reads the cache at
+        # its stored width, int8 dequant in-kernel; ops/pallas_decode_kernel)
+        prefill: bool = False,  # cached prefill: attend over the chunk alone
+        # with the flash kernel (the chunk IS the whole valid prefix; the
+        # dense path would build an O(n * cap) score matrix against the
+        # mostly-empty buffer) while still writing the cache
         deterministic: bool = True,
     ):
         b, n, _ = x.shape
@@ -159,54 +166,93 @@ class Attention(nn.Module):
             q = apply_rope(angles, q)
             k = apply_rope(angles, k)
 
+        use_decode_kernel = False
         if cache is not None:
             idx = cache["idx"]
-            if cache["k"].dtype == jnp.int8:
+            tposed = "kT" in cache  # [b, h, d, cap] decode-kernel layout
+            kk, vk = ("kT", "vT") if tposed else ("k", "v")
+            axis = 3 if tposed else 2
+            quant_cache = cache[kk].dtype == jnp.int8
+
+            def write(buf, chunk):
+                if tposed:
+                    chunk = chunk.swapaxes(-1, -2)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    buf, chunk, idx, axis=axis
+                )
+
+            if quant_cache:
                 # int8 KV cache (make_kv_cache(quantize='int8')): symmetric
-                # absmax quantization per (token, head) row, post-RoPE. The
-                # dequantize below is a cast+multiply that XLA fuses into the
-                # attention matmuls, so reads cost int8 HBM bandwidth.
+                # absmax quantization per (token, head) row, post-RoPE.
+                # Scales are stored as [b, h, 1, cap] so the decode kernel
+                # can stream them as legal (1, bk)-lane tiles.
                 k_q, k_s = _quantize_rows(k)
                 v_q, v_s = _quantize_rows(v)
-                k_buf = jax.lax.dynamic_update_slice_in_dim(
-                    cache["k"], k_q, idx, axis=2
-                )
-                v_buf = jax.lax.dynamic_update_slice_in_dim(
-                    cache["v"], v_q, idx, axis=2
-                )
+                k_buf, v_buf = write(cache[kk], k_q), write(cache[vk], v_q)
                 k_sc = jax.lax.dynamic_update_slice_in_dim(
-                    cache["k_scale"], k_s, idx, axis=2
+                    cache["k_scale"], k_s.swapaxes(-1, -2), idx, axis=3
                 )
                 v_sc = jax.lax.dynamic_update_slice_in_dim(
-                    cache["v_scale"], v_s, idx, axis=2
+                    cache["v_scale"], v_s.swapaxes(-1, -2), idx, axis=3
                 )
                 new_cache = {
-                    "k": k_buf, "v": v_buf,
+                    kk: k_buf, vk: v_buf,
                     "k_scale": k_sc, "v_scale": v_sc,
                     "idx": idx + n,
                 }
-                k_full = (k_buf * k_sc).astype(k.dtype)
-                v_full = (v_buf * v_sc).astype(v.dtype)
             else:
-                k_full = jax.lax.dynamic_update_slice_in_dim(
-                    cache["k"], k, idx, axis=2
-                )
-                v_full = jax.lax.dynamic_update_slice_in_dim(
-                    cache["v"], v, idx, axis=2
-                )
-                new_cache = {"k": k_full, "v": v_full, "idx": idx + n}
+                k_buf, v_buf = write(cache[kk], k), write(cache[vk], v)
+                new_cache = {kk: k_buf, vk: v_buf, "idx": idx + n}
             if "mask" in cache:
                 new_cache["mask"] = cache["mask"]
+
+            use_decode_kernel = decode_bias is not None and not prefill
+            if use_decode_kernel:
+                assert tposed  # guaranteed by Transformer._use_decode_kernel
+            if prefill and flash_spec is not None:
+                # cached prefill: the chunk is the entire valid prefix —
+                # attend within it via the flash kernel; the buffer is only
+                # written, never read
+                k_full, v_full = k, v
+            elif use_decode_kernel:
+                k_full = v_full = None  # kernel reads the raw buffers
+            elif quant_cache:
+                # XLA fallback: materialize the dequantized cache
+                if tposed:
+                    k_full = (k_buf * k_sc).swapaxes(-1, -2).astype(k.dtype)
+                    v_full = (v_buf * v_sc).swapaxes(-1, -2).astype(v.dtype)
+                else:
+                    k_full = (k_buf * k_sc.swapaxes(-1, -2)).astype(k.dtype)
+                    v_full = (v_buf * v_sc.swapaxes(-1, -2)).astype(v.dtype)
+            elif tposed:
+                k_full = k_buf.swapaxes(-1, -2)
+                v_full = v_buf.swapaxes(-1, -2)
+            else:
+                k_full, v_full = k_buf, v_buf
         else:
+            quant_cache = False
             k_full, v_full = k, v
             new_cache = None
 
         v_att = v_full
         if self.laser:
+            assert not use_decode_kernel  # excluded upstream
             v_att = jnp.exp(softclamp(v_full, self.laser_softclamp_value))
 
-        fused = cache is None and flash_spec is not None
-        if self.attn_impl == "flash" and fused:
+        fused = flash_spec is not None and (cache is None or prefill)
+        if use_decode_kernel:
+            from transfusion_tpu.ops.pallas_decode_kernel import decode_attention
+
+            out = decode_attention(
+                q,
+                k_buf,
+                v_buf,
+                bias=decode_bias,
+                k_scale=k_sc if quant_cache else None,
+                v_scale=v_sc if quant_cache else None,
+                softcap=self.softcap_value,
+            )
+        elif self.attn_impl == "flash" and fused:
             from transfusion_tpu.ops.pallas_attn import transfusion_flash_attention
 
             out = transfusion_flash_attention(

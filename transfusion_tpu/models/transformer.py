@@ -57,6 +57,11 @@ def make_kv_cache(
     dtype=jnp.float32,
     track_mask: bool = False,
     quantize: Optional[str] = None,  # None | 'int8'
+    transposed: bool = False,  # store K/V as [.., dim_head, max_len]
+    # ("kT"/"vT") — the layout the Pallas decode kernel streams (sliced HBM
+    # DMA needs a 128-aligned trailing dim; capacity is one, head_dim=64
+    # is not). Use for attn_impl='flash' models; the dense path transposes
+    # back on read.
 ):
     """Preallocated KV ring buffer for `depth` layers.
 
@@ -67,31 +72,45 @@ def make_kv_cache(
 
     quantize='int8' stores K/V as int8 with a per-(token, head) float32
     scale (symmetric absmax quantization, applied post-RoPE at write time in
-    `Attention`). Long-history decode is bound by streaming the cache from
-    HBM, so halving its footprint (vs bf16; 4x vs f32) buys bandwidth
-    directly; dequantize-on-read fuses into the attention matmuls. The
-    reference has no serving path at all (its generate_text_only re-forwards
-    the full prefix per token, ref transfusion.py:2015-2038).
+    `Attention`; scales live as [.., 1, max_len] so the decode kernel can
+    stream them as legal lane tiles). Long-history decode is bound by
+    streaming the cache from HBM, so halving its footprint (vs bf16; 4x vs
+    f32) buys bandwidth directly; the Pallas decode kernel
+    (ops/pallas_decode_kernel.py) dequantizes in-VMEM so the HBM traffic
+    stays int8-wide. The reference has no serving path at all (its
+    generate_text_only re-forwards the full prefix per token, ref
+    transfusion.py:2015-2038).
     """
-    shape = (depth, batch, heads, max_len, dim_head)
+    if transposed:
+        shape = (depth, batch, heads, dim_head, max_len)
+        kk, vk = "kT", "vT"
+    else:
+        shape = (depth, batch, heads, max_len, dim_head)
+        kk, vk = "k", "v"
+    cache = {"idx": jnp.zeros((), jnp.int32)}
     if quantize is not None:
         assert quantize == "int8", quantize
-        cache = {
-            "k": jnp.zeros(shape, jnp.int8),
-            "v": jnp.zeros(shape, jnp.int8),
-            "k_scale": jnp.zeros((*shape[:-1], 1), jnp.float32),
-            "v_scale": jnp.zeros((*shape[:-1], 1), jnp.float32),
-            "idx": jnp.zeros((), jnp.int32),
-        }
+        cache[kk] = jnp.zeros(shape, jnp.int8)
+        cache[vk] = jnp.zeros(shape, jnp.int8)
+        cache["k_scale"] = jnp.zeros(
+            (depth, batch, heads, 1, max_len), jnp.float32
+        )
+        cache["v_scale"] = jnp.zeros(
+            (depth, batch, heads, 1, max_len), jnp.float32
+        )
     else:
-        cache = {
-            "k": jnp.zeros(shape, dtype),
-            "v": jnp.zeros(shape, dtype),
-            "idx": jnp.zeros((), jnp.int32),
-        }
+        cache[kk] = jnp.zeros(shape, dtype)
+        cache[vk] = jnp.zeros(shape, dtype)
     if track_mask:
         cache["mask"] = jnp.zeros((batch, max_len), bool)
     return cache
+
+
+def cache_capacity(cache: dict) -> int:
+    """Slot capacity of a cache from either layout."""
+    if "kT" in cache:
+        return cache["kT"].shape[-1]
+    return cache["k"].shape[-2]
 
 
 def cache_mark_valid(cache: dict, new_valid):
@@ -129,6 +148,7 @@ class TransformerBlock(nn.Module):
     flash_causal: bool
     deterministic: bool
     fused_nomask: bool = False  # ring/cp full attention (no structural mask)
+    prefill: bool = False  # cached prefill — see Attention
     mesh: Any = None
     dtype: Any = jnp.float32
 
@@ -146,6 +166,7 @@ class TransformerBlock(nn.Module):
         layer_cache,  # dict | None
         flash_spans,  # Int[b, m, 3] | None
         value_residual_valid=None,  # None | Bool[] — see Attention
+        decode_bias=None,  # Float[b, 8, cap] | None — see Attention
     ):
         ind = self.layer_index
 
@@ -217,6 +238,8 @@ class TransformerBlock(nn.Module):
             value_residual=value_residual,
             value_residual_valid=value_residual_valid,
             flash_spec=flash_spec,
+            decode_bias=decode_bias,
+            prefill=self.prefill,
             deterministic=self.deterministic,
             **adaptive_kwargs,
         )
@@ -255,12 +278,28 @@ class Transformer(nn.Module):
     # full remat's memory win at a fraction of its recompute FLOPs
     dtype: Any = jnp.float32
 
+    def _use_decode_kernel(self, cache, prefill, spans, attn_mask, causal, n):
+        """Cached-decode steps route to the Pallas decode kernel when the
+        mask reduces to per-slot validity: no structural spans/attn_mask, and
+        causality only via the write index (single-token text decode)."""
+        if cache is None or prefill or self.attn_impl != "flash":
+            return False
+        if "kT" not in cache:
+            return False  # kernel needs the transposed cache layout
+        if spans is not None or attn_mask is not None or self.attn_laser:
+            return False
+        if causal and n != 1:
+            return False  # per-row causality not expressible as a row bias
+        from transfusion_tpu.ops.pallas_decode_kernel import decode_supported
+
+        return decode_supported(cache_capacity(cache), self.dim_head, n)
+
     def _build_mask(self, n, cache, causal, spans, attn_mask, batch):
         """Compose Bool[b|1, 1, n, kv] or return None (full attention)."""
         masks = []
 
         if cache is not None:
-            kv_len = cache["k"].shape[-2]
+            kv_len = cache_capacity(cache)
             idx = cache["idx"]
             kv_pos = jnp.arange(kv_len)
             if cache.get("mask") is not None:
@@ -317,6 +356,10 @@ class Transformer(nn.Module):
         cache: Optional[dict] = None,
         modality_only: bool = False,
         causal: bool = False,
+        prefill: bool = False,  # cached prefill: the chunk is the whole
+        # valid prefix (cache idx 0) — attention runs over the chunk alone
+        # via the flash kernel instead of an O(n * cap) dense pass against
+        # the mostly-empty buffer; the cache is still written
         deterministic: bool = True,
     ):
         b, n, _ = x.shape
@@ -324,6 +367,9 @@ class Transformer(nn.Module):
         use_flash = (
             self.attn_impl == "flash" or is_cp
         ) and cache is None
+        prefill_flash = (
+            prefill and cache is not None and self.attn_impl == "flash"
+        )
         if is_cp and cache is None:
             csize = self.mesh.shape.get("context", 1) if self.mesh else 1
             assert n % max(csize, 1) == 0, (
@@ -376,13 +422,35 @@ class Transformer(nn.Module):
         flash_spans = None
         flash_causal = False
         fused_nomask = False
-        if use_flash and (spans is not None or causal) and attn_mask is None:
+        decode_bias = None
+        if (
+            (use_flash or prefill_flash)
+            and (spans is not None or causal)
+            and attn_mask is None
+        ):
             flash_spans, flash_causal = spans, causal
             mask = None
         elif is_cp and cache is None and attn_mask is None:
             # ring/cp handle full (unmasked) attention too — keeps the
             # modality-only path sequence-sharded
             fused_nomask = True
+            mask = None
+        elif self._use_decode_kernel(cache, prefill, spans, attn_mask, causal, n):
+            # cached decode via the Pallas decode kernel: masking reduces to
+            # per-slot validity (the reference likewise disables structural
+            # masks during cached decode, ref :938-939), expressed as an
+            # additive bias with 8 duplicate sublanes (HBM tiling)
+            from transfusion_tpu.ops.pallas_decode_kernel import NEG_INF
+
+            cap = cache_capacity(cache)
+            if cache.get("mask") is not None:
+                valid = cache["mask"]  # [b, cap]
+            else:
+                # no explicit mask: slots below idx + n are valid (for
+                # causal single-token decode this IS causality: cols <= idx)
+                valid = jnp.arange(cap)[None, :] < (cache["idx"] + n)
+            bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
+            decode_bias = jnp.broadcast_to(bias[:, None, :], (b, 8, cap))
             mask = None
         else:
             mask = self._build_mask(n, cache, causal, spans, attn_mask, b)
@@ -430,7 +498,7 @@ class Transformer(nn.Module):
             if cache is not None:
                 layer_cache = {
                     kk: cache[kk][ind]
-                    for kk in ("k", "v", "k_scale", "v_scale")
+                    for kk in ("k", "v", "kT", "vT", "k_scale", "v_scale")
                     if kk in cache
                 }
                 layer_cache["idx"] = cache["idx"]
@@ -456,6 +524,7 @@ class Transformer(nn.Module):
                 flash_causal=flash_causal,
                 deterministic=deterministic,
                 fused_nomask=fused_nomask,
+                prefill=prefill,
                 mesh=self.mesh,
                 dtype=self.dtype,
                 name=f"block_{ind}",
@@ -464,6 +533,7 @@ class Transformer(nn.Module):
             s, attn_values, layer_new_cache = block(
                 s, skip, cond, cond_index, mask, rope, is_any_modality,
                 value_residual, layer_cache, flash_spans,
+                decode_bias=decode_bias,
             )
             if value_residual is None:
                 value_residual = attn_values
@@ -480,7 +550,7 @@ class Transformer(nn.Module):
         if cache is not None:
             new_cache = {
                 kk: jnp.stack([lc[kk] for lc in new_layer_caches])
-                for kk in ("k", "v", "k_scale", "v_scale")
+                for kk in ("k", "v", "kT", "vT", "k_scale", "v_scale")
                 if kk in cache
             }
             new_cache["idx"] = new_idx

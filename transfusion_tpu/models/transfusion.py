@@ -264,6 +264,11 @@ class TransfusionCore(nn.Module):
             spans=spans,
             rotary_pos=rotary_pos,
             cache=cache,
+            # joint is only ever called with a cache to prefill it (sampling
+            # fast path): the chunk is the whole valid prefix, so attention
+            # runs over the chunk via the flash kernel instead of a dense
+            # pass against the empty buffer
+            prefill=cache is not None,
             deterministic=deterministic,
         )
 
@@ -335,11 +340,15 @@ class TransfusionCore(nn.Module):
 
     # -- text-only path ------------------------------------------------------
 
-    def text_forward(self, text, cache=None, rotary_pos=None, deterministic=True):
+    def text_forward(
+        self, text, cache=None, rotary_pos=None, deterministic=True,
+        prefill: bool = False,
+    ):
         """Causal LM forward. text: Int[b, n] (chunk to process).
 
         rotary_pos defaults to arange(n); pass absolute positions when
-        decoding with a cache."""
+        decoding with a cache. prefill=True (with a fresh cache at idx 0)
+        runs attention over the chunk alone via the flash kernel."""
         b, n = text.shape
         if rotary_pos is None:
             rotary_pos = jnp.arange(n)
@@ -349,6 +358,7 @@ class TransfusionCore(nn.Module):
             causal=True,
             rotary_pos=rotary_pos,
             cache=cache,
+            prefill=prefill,
             deterministic=deterministic,
         )
         return self.to_text_logits(embed), new_cache
@@ -1176,12 +1186,18 @@ class Transfusion:
         depth = self.transformer_cfg["depth"]
         heads = self.transformer_cfg.get("heads", 8)
         dim_head = self.transformer_cfg.get("dim_head", 64)
+        # capacity rounded to a 128 multiple so the Pallas decode kernel's
+        # block sizes divide it; slots past idx are masked invalid. Flash
+        # models store the cache transposed ([.., d, cap]) — the layout the
+        # decode kernel streams.
+        cap = -(-(n0 + steps) // 128) * 128
         cache = make_kv_cache(
-            depth, b, heads, n0 + steps, dim_head, dtype=self.dtype,
+            depth, b, heads, cap, dim_head, dtype=self.dtype,
             quantize="int8" if quantize else None,
+            transposed=self.transformer_cfg.get("attn_impl") == "flash",
         )
         logits, cache = self.core.apply(
-            params, prompt, cache, method="text_forward"
+            params, prompt, cache, method="text_forward", prefill=True
         )
         text_only = jnp.arange(self.vocab_size) < self.num_text_tokens
 
@@ -1643,6 +1659,7 @@ class Transfusion:
         cache = make_kv_cache(
             depth, b, heads, cap, dim_head, dtype=self.dtype, track_mask=True,
             quantize="int8" if quantize else None,
+            transposed=self.transformer_cfg.get("attn_impl") == "flash",
         )
         cache["mask"] = jnp.arange(cap)[None, :] < packed.lengths[:, None]
         m = packed.spans.shape[1]
