@@ -1,0 +1,118 @@
+"""Serving-style decode demo: batch text generation + multimodal sampling
+through the KV-cache fast path.
+
+No analog exists in the reference (its generate_text_only re-forwards the
+full prefix per token, reference transfusion.py:2015-2038). This script
+exercises the TPU serving stack end-to-end:
+
+  * flash-kernel prefill into a preallocated ring-buffer cache
+  * scanned per-token decode through the Pallas decode-attention kernel
+  * optional int8-quantized KV cache (--kv-quantize): 2x smaller cache,
+    faster at long histories (docs_evidence.md)
+
+Run: python examples/serve_text.py --history 2048 --tokens 64 --batch 4
+     python examples/serve_text.py --kv-quantize --checkpoint runs/ckpt
+"""
+
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--history", type=int, default=512,
+                   help="prompt length to prefill")
+    p.add_argument("--tokens", type=int, default=64,
+                   help="tokens to decode per request")
+    p.add_argument("--batch", type=int, default=4,
+                   help="concurrent requests (batched decode)")
+    p.add_argument("--kv-quantize", action="store_true",
+                   help="int8 KV cache (2x smaller, wins at long history)")
+    p.add_argument("--attn", default="flash", choices=["flash", "dense"])
+    p.add_argument("--dim", type=int, default=384)
+    p.add_argument("--depth", type=int, default=8)
+    p.add_argument("--checkpoint", default=None,
+                   help="orbax checkpoint dir to restore params from")
+    p.add_argument("--multimodal", action="store_true",
+                   help="also run one cached multimodal sample()")
+    args = p.parse_args()
+
+    from transfusion_tpu.models.transfusion import Transfusion
+
+    model = Transfusion(
+        num_text_tokens=256,
+        dim_latent=32,
+        modality_default_shape=(14, 14),
+        transformer=dict(
+            dim=args.dim, depth=args.depth, dim_head=64,
+            heads=args.dim // 48 if args.dim % 48 == 0 else 8,
+            attn_impl=args.attn,
+        ),
+        pad_multiple=64,
+        dtype=jnp.bfloat16,
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+    if args.checkpoint:
+        from transfusion_tpu.training.trainer import Trainer
+
+        trainer = Trainer(model, checkpoint_dir=args.checkpoint)
+        state = trainer.restore(trainer.init_state(jax.random.PRNGKey(0)))
+        if state is not None:
+            params = state.params
+            print(f"restored step {int(state.step)} from {args.checkpoint}")
+
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(
+        rng.integers(0, 256, (args.batch, args.history)), jnp.int32
+    )
+
+    # warm (compile); then measure steady-state
+    toks = model.generate_text_only(
+        params, prompt, seq_len=args.history + args.tokens,
+        rng=jax.random.PRNGKey(1), kv_quantize=args.kv_quantize,
+    )
+    _ = int(np.asarray(toks)[0, -1])
+    t0 = time.perf_counter()
+    toks = model.generate_text_only(
+        params, prompt, seq_len=args.history + args.tokens,
+        rng=jax.random.PRNGKey(2), kv_quantize=args.kv_quantize,
+    )
+    _ = int(np.asarray(toks)[0, -1])
+    dt = time.perf_counter() - t0
+
+    total = args.batch * args.tokens
+    cache = "int8" if args.kv_quantize else "bf16"
+    print(
+        f"decode: {args.batch} req x {args.tokens} tok @ history "
+        f"{args.history} ({cache} cache): {dt:.2f} s = "
+        f"{total / dt:.0f} tok/s ({dt / args.tokens * 1e3:.2f} ms/step)"
+    )
+    print("sampled tail:", np.asarray(toks)[0, -8:].tolist())
+
+    if args.multimodal:
+        t0 = time.perf_counter()
+        out = model.sample(
+            params,
+            prompt=[np.asarray([model.som_ids[0]], np.int32)],
+            rng=jax.random.PRNGKey(3),
+            max_length=8,
+            modality_steps=16,
+            cache_kv=True,
+            kv_quantize=args.kv_quantize,
+            return_unprocessed_modalities=True,
+        )
+        dt = time.perf_counter() - t0
+        kinds = ["mod" if isinstance(o, tuple) else "text" for o in out]
+        print(f"multimodal sample() ({cache} cache): {dt:.2f} s, {kinds}")
+
+
+if __name__ == "__main__":
+    main()

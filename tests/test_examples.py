@@ -127,3 +127,12 @@ def test_train_distributed_pipeline_smoke(tmp_path, monkeypatch):
         "train_distributed.py",
         ["--steps", "2", "--batch-size", "4", "--pipeline", "4"],
     )
+
+
+def test_serve_text_smoke():
+    # serving demo: flash prefill + Pallas decode kernel + int8 KV cache
+    run_example(
+        "serve_text.py",
+        ["--history", "32", "--tokens", "4", "--batch", "1",
+         "--dim", "64", "--depth", "2", "--kv-quantize", "--multimodal"],
+    )
