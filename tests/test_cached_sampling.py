@@ -353,3 +353,66 @@ def test_decode_kernel_matches_dense_oracle():
     np.testing.assert_allclose(
         np.asarray(out_q), np.asarray(ref_q), atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# ragged batched serving (per-row cache offsets; generate_text_batch)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("attn_impl", ["dense", "flash"])
+def test_ragged_degenerate_matches_rectangular(attn_impl):
+    """All-equal lengths through the ragged path must reproduce the
+    rectangular path token-for-token (same positions, masks, rng)."""
+    model = make_model(attn_impl)
+    params = model.init_params(jax.random.PRNGKey(0))
+    prompt = jnp.asarray(
+        [[model.sos_id, 1, 2, 3], [model.sos_id, 4, 5, 6]], jnp.int32
+    )
+    rect = model.generate_text_only(
+        params, prompt, seq_len=12, rng=jax.random.PRNGKey(5)
+    )
+    ragged = model.generate_text_only(
+        params, prompt, seq_len=12, rng=jax.random.PRNGKey(5),
+        prompt_lengths=jnp.asarray([4, 4]),
+    )
+    np.testing.assert_array_equal(np.asarray(rect), np.asarray(ragged))
+
+
+@pytest.mark.parametrize("attn_impl", ["dense", "flash"])
+def test_ragged_rows_match_individual_greedy(attn_impl):
+    """Each ragged row must decode the same greedy tokens as running its
+    prompt alone through the rectangular path."""
+    model = make_model(attn_impl)
+    params = model.init_params(jax.random.PRNGKey(0))
+    prompts = [
+        np.asarray([model.sos_id, 1, 2], np.int32),
+        np.asarray([model.sos_id, 3, 4, 5, 6, 7], np.int32),
+    ]
+    batched = model.generate_text_batch(
+        params, prompts, max_new_tokens=6, rng=jax.random.PRNGKey(5),
+        temperature=0.0,
+    )
+    for i, p in enumerate(prompts):
+        solo = model.generate_text_only(
+            params, jnp.asarray(p)[None], seq_len=len(p) + 6,
+            rng=jax.random.PRNGKey(5), temperature=0.0,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(batched)[i], np.asarray(solo)[0],
+            err_msg=f"row {i} (len {len(p)})",
+        )
+
+
+def test_ragged_int8_smoke():
+    model = make_model("flash")
+    params = model.init_params(jax.random.PRNGKey(0))
+    prompts = [np.asarray([model.sos_id, 1], np.int32),
+               np.asarray([model.sos_id, 2, 3, 4], np.int32)]
+    toks = model.generate_text_batch(
+        params, prompts, max_new_tokens=5, rng=jax.random.PRNGKey(1),
+        kv_quantize=True,
+    )
+    assert toks.shape == (2, 5)
+    assert (np.asarray(toks) >= 0).all()
+    assert (np.asarray(toks) < model.num_text_tokens).all()

@@ -174,12 +174,23 @@ class Attention(nn.Module):
             axis = 3 if tposed else 2
             quant_cache = cache[kk].dtype == jnp.int8
 
+            def write_at(buf, chunk, ax):
+                if jnp.ndim(idx) == 1:
+                    # per-row write offsets (ragged batched serving): each
+                    # request's chunk lands at its own history end
+                    return jax.vmap(
+                        lambda bu, ch, i: jax.lax.dynamic_update_slice_in_dim(
+                            bu, ch, i, axis=ax - 1
+                        )
+                    )(buf, chunk, idx)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    buf, chunk, idx, axis=ax
+                )
+
             def write(buf, chunk):
                 if tposed:
                     chunk = chunk.swapaxes(-1, -2)
-                return jax.lax.dynamic_update_slice_in_dim(
-                    buf, chunk, idx, axis=axis
-                )
+                return write_at(buf, chunk, axis)
 
             if quant_cache:
                 # int8 KV cache (make_kv_cache(quantize='int8')): symmetric
@@ -189,12 +200,8 @@ class Attention(nn.Module):
                 k_q, k_s = _quantize_rows(k)
                 v_q, v_s = _quantize_rows(v)
                 k_buf, v_buf = write(cache[kk], k_q), write(cache[vk], v_q)
-                k_sc = jax.lax.dynamic_update_slice_in_dim(
-                    cache["k_scale"], k_s.swapaxes(-1, -2), idx, axis=3
-                )
-                v_sc = jax.lax.dynamic_update_slice_in_dim(
-                    cache["v_scale"], v_s.swapaxes(-1, -2), idx, axis=3
-                )
+                k_sc = write_at(cache["k_scale"], k_s.swapaxes(-1, -2), 3)
+                v_sc = write_at(cache["v_scale"], v_s.swapaxes(-1, -2), 3)
                 new_cache = {
                     kk: k_buf, vk: v_buf,
                     "k_scale": k_sc, "v_scale": v_sc,

@@ -115,12 +115,19 @@ def cache_capacity(cache: dict) -> int:
 
 def cache_mark_valid(cache: dict, new_valid):
     """Mark the next chunk's slots valid: new_valid Bool[b, L] is written at
-    the current idx. Call before the forward that writes those slots."""
+    the current idx (scalar, or Int[b] for per-row ragged offsets). Call
+    before the forward that writes those slots."""
     if "mask" not in cache:
         return cache
-    mask = jax.lax.dynamic_update_slice(
-        cache["mask"], new_valid, (jnp.zeros((), jnp.int32), cache["idx"])
-    )
+    idx = cache["idx"]
+    if jnp.ndim(idx) == 1:
+        mask = jax.vmap(
+            lambda m, nv, i: jax.lax.dynamic_update_slice(m, nv, (i,))
+        )(cache["mask"], new_valid, idx)
+    else:
+        mask = jax.lax.dynamic_update_slice(
+            cache["mask"], new_valid, (jnp.zeros((), jnp.int32), idx)
+        )
     return {**cache, "mask": mask}
 
 
@@ -311,11 +318,25 @@ class Transformer(nn.Module):
                     )
                 )
             else:
-                valid = kv_pos[None, :] < (idx + n)  # [1, kv]
-                masks.append(valid[None, None, :, :].repeat(n, axis=2))
+                idx_b = idx[:, None] if jnp.ndim(idx) == 1 else idx
+                valid = kv_pos[None, :] < (idx_b + n)  # [b|1, kv]
+                masks.append(
+                    jnp.broadcast_to(
+                        valid[:, None, None, :],
+                        (valid.shape[0], 1, n, kv_len),
+                    )
+                )
             if causal:
-                q_pos = idx + jnp.arange(n)
-                masks.append((q_pos[:, None] >= kv_pos[None, :])[None, None])
+                idx_b = idx[:, None] if jnp.ndim(idx) == 1 else idx
+                q_pos = idx_b + jnp.arange(n)  # [b|1(?), n] or [n]
+                if q_pos.ndim == 1:
+                    masks.append(
+                        (q_pos[:, None] >= kv_pos[None, :])[None, None]
+                    )
+                else:
+                    masks.append(
+                        (q_pos[:, :, None] >= kv_pos[None, None, :])[:, None]
+                    )
             if spans is not None:
                 m = spans_to_attn_mask(n, spans)  # [b, n, n] (prefill only)
                 m = jnp.pad(m, ((0, 0), (0, 0), (0, kv_len - n)))
@@ -448,7 +469,9 @@ class Transformer(nn.Module):
             else:
                 # no explicit mask: slots below idx + n are valid (for
                 # causal single-token decode this IS causality: cols <= idx)
-                valid = jnp.arange(cap)[None, :] < (cache["idx"] + n)
+                idx = cache["idx"]
+                idx_b = idx[:, None] if jnp.ndim(idx) == 1 else idx
+                valid = jnp.arange(cap)[None, :] < (idx_b + n)
             bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
             decode_bias = jnp.broadcast_to(bias[:, None, :], (b, 8, cap))
             mask = None

@@ -1202,8 +1202,15 @@ class Transfusion:
         text_only = jnp.arange(self.vocab_size) < self.num_text_tokens
 
         def sample_tok(key, logits_last):
-            filtered = min_p_filter(logits_last.astype(jnp.float32), min_p)
-            filtered = jnp.where(text_only[None], filtered, max_neg_value())
+            # mask to text-only ids BEFORE min-p (reference forward_text
+            # masks logits first, :1994-2010): min-p over the full vocab can
+            # -inf every text id when special ids dominate, making argmax
+            # land on a masked (finite max_neg) non-text id
+            masked = jnp.where(
+                text_only[None], logits_last.astype(jnp.float32),
+                -jnp.inf,
+            )
+            filtered = min_p_filter(masked, min_p)
             return gumbel_sample(key, filtered, temperature)
 
         def step(carry, _):
@@ -1221,6 +1228,67 @@ class Transfusion:
         )
         return toks.T  # [b, steps]
 
+    def _gen_text_ragged_impl(
+        self, params, prompt, lengths, rng, *, steps, temperature, min_p,
+        quantize=False,
+    ):
+        """Ragged batched decode: prompt rows padded to a rectangle, row i's
+        real history is lengths[i] tokens. Prefill attends chunk-causally
+        (padding is at the tail, so real rows never see it); decode then
+        runs with PER-ROW cache write offsets (cache idx as Int[b]) so every
+        request continues from its own history end — continuous-batching
+        style serving, which the rectangular path cannot express."""
+        from transfusion_tpu.models.transformer import cache_mark_valid
+        from transfusion_tpu.ops.flow import gumbel_sample
+
+        b, n0 = prompt.shape
+        depth = self.transformer_cfg["depth"]
+        heads = self.transformer_cfg.get("heads", 8)
+        dim_head = self.transformer_cfg.get("dim_head", 64)
+        cap = -(-(n0 + steps) // 128) * 128
+        cache = make_kv_cache(
+            depth, b, heads, cap, dim_head, dtype=self.dtype,
+            track_mask=True,
+            quantize="int8" if quantize else None,
+            transposed=self.transformer_cfg.get("attn_impl") == "flash",
+        )
+        cache["mask"] = jnp.arange(cap)[None, :] < lengths[:, None]
+        logits, cache = self.core.apply(
+            params, prompt, cache, method="text_forward", prefill=True
+        )
+        last = logits[jnp.arange(b), lengths - 1]  # per-row last real token
+        cache = {**cache, "idx": lengths.astype(jnp.int32)}  # go per-row
+
+        text_only = jnp.arange(self.vocab_size) < self.num_text_tokens
+
+        def sample_tok(key, logits_last):
+            # mask to text-only ids BEFORE min-p (reference forward_text
+            # masks logits first, :1994-2010): min-p over the full vocab can
+            # -inf every text id when special ids dominate, making argmax
+            # land on a masked (finite max_neg) non-text id
+            masked = jnp.where(
+                text_only[None], logits_last.astype(jnp.float32),
+                -jnp.inf,
+            )
+            filtered = min_p_filter(masked, min_p)
+            return gumbel_sample(key, filtered, temperature)
+
+        def step(carry, _):
+            cache, logits_last, rng = carry
+            rng, key = jax.random.split(rng)
+            tok = sample_tok(key, logits_last)  # [b]
+            pos = cache["idx"][:, None]  # Int[b, 1] absolute positions
+            cache = cache_mark_valid(cache, jnp.ones((b, 1), bool))
+            logits, cache = self.core.apply(
+                params, tok[:, None], cache, pos, method="text_forward"
+            )
+            return (cache, logits[:, -1], rng), tok
+
+        (_, _, _), toks = jax.lax.scan(
+            step, (cache, last, rng), None, length=steps
+        )
+        return toks.T  # [b, steps]
+
     def generate_text_only(
         self,
         params,
@@ -1231,12 +1299,27 @@ class Transfusion:
         min_p: float = 0.1,
         kv_quantize: bool = False,  # int8 KV cache (serving: halves the
         # decode-time cache bandwidth vs bf16; see make_kv_cache)
+        prompt_lengths=None,  # Int[b] — ragged serving: row i's real
+        # history is prompt[i, :prompt_lengths[i]] (rows padded to the
+        # rectangle); every row decodes seq_len - prompt.shape[-1] tokens
+        # from its own history end
     ):
         prompt = jnp.asarray(prompt)
         steps = max(0, seq_len - prompt.shape[-1])
         if steps == 0:
             return prompt[..., 0:0]
         rng = default(rng, jax.random.PRNGKey(0))
+        if prompt_lengths is not None:
+            fn = self._get_jit(
+                "gen_text_ragged",
+                functools.partial(self._gen_text_ragged_impl),
+                static_argnames=("steps", "temperature", "min_p", "quantize"),
+            )
+            return fn(
+                params, prompt, jnp.asarray(prompt_lengths, jnp.int32), rng,
+                steps=steps, temperature=float(temperature),
+                min_p=float(min_p), quantize=bool(kv_quantize),
+            )
         fn = self._get_jit(
             "gen_text",
             functools.partial(self._gen_text_impl),
@@ -1246,6 +1329,25 @@ class Transfusion:
             params, prompt, rng,
             steps=steps, temperature=float(temperature), min_p=float(min_p),
             quantize=bool(kv_quantize),
+        )
+
+    def generate_text_batch(
+        self,
+        params,
+        prompts,  # list of 1-D int arrays (ragged histories)
+        max_new_tokens: int,
+        **kwargs,
+    ):
+        """Serving convenience: batch ragged requests, decode max_new_tokens
+        each. Returns Int[b, max_new_tokens]."""
+        lengths = [int(np.asarray(p).size) for p in prompts]
+        L0 = max(lengths)
+        arr = np.zeros((len(prompts), L0), np.int32)
+        for i, p in enumerate(prompts):
+            arr[i, : lengths[i]] = np.asarray(p, np.int32).reshape(-1)
+        return self.generate_text_only(
+            params, arr, seq_len=L0 + max_new_tokens,
+            prompt_lengths=np.asarray(lengths, np.int32), **kwargs,
         )
 
     # ------------------------------------------------------------------
