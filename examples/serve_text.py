@@ -43,6 +43,9 @@ def main():
                    help="orbax checkpoint dir to restore params from")
     p.add_argument("--multimodal", action="store_true",
                    help="also run one cached multimodal sample()")
+    p.add_argument("--ragged", action="store_true",
+                   help="demo ragged batching: requests with different "
+                        "history lengths decode together")
     args = p.parse_args()
 
     from transfusion_tpu.models.transfusion import Transfusion
@@ -96,6 +99,27 @@ def main():
         f"{total / dt:.0f} tok/s ({dt / args.tokens * 1e3:.2f} ms/step)"
     )
     print("sampled tail:", np.asarray(toks)[0, -8:].tolist())
+
+    if args.ragged:
+        # continuous-batching style: each request has its own history
+        # length; per-row cache offsets let them decode in one batch
+        lens = [
+            max(1, args.history // (i + 1)) for i in range(args.batch)
+        ]
+        ragged_prompts = [
+            rng.integers(0, 256, l).astype(np.int32) for l in lens
+        ]
+        t0 = time.perf_counter()
+        out = model.generate_text_batch(
+            params, ragged_prompts, max_new_tokens=args.tokens,
+            rng=jax.random.PRNGKey(4), kv_quantize=args.kv_quantize,
+        )
+        _ = int(np.asarray(out)[0, -1])
+        dt = time.perf_counter() - t0
+        print(
+            f"ragged batch (histories {lens}): {args.tokens} tok/request "
+            f"in {dt:.2f} s (cold incl. compile)"
+        )
 
     if args.multimodal:
         t0 = time.perf_counter()

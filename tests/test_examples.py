@@ -133,6 +133,7 @@ def test_serve_text_smoke():
     # serving demo: flash prefill + Pallas decode kernel + int8 KV cache
     run_example(
         "serve_text.py",
-        ["--history", "32", "--tokens", "4", "--batch", "1",
-         "--dim", "64", "--depth", "2", "--kv-quantize", "--multimodal"],
+        ["--history", "32", "--tokens", "4", "--batch", "2",
+         "--dim", "64", "--depth", "2", "--kv-quantize", "--multimodal",
+         "--ragged"],
     )
