@@ -342,6 +342,16 @@ def test_decode_kernel_matches_dense_oracle():
         np.asarray(out), np.asarray(oracle(k, v)), atol=1e-5
     )
 
+    # per-row early exit: passing the exact valid counts must not change
+    # the result (the skipped tail is fully bias-masked anyway)
+    out_lens = decode_attention(
+        q, k.swapaxes(-1, -2), v.swapaxes(-1, -2), bias, softcap=softcap,
+        lens=jnp.asarray([100, 163], jnp.int32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_lens), np.asarray(out), atol=1e-6
+    )
+
     k8, ks = _quantize_rows(k)
     v8, vs = _quantize_rows(v)
     out_q = decode_attention(

@@ -125,6 +125,7 @@ class Attention(nn.Module):
         decode_bias=None,  # Float[b, 8, cap] additive validity — routes
         # cached decode through the Pallas decode kernel (reads the cache at
         # its stored width, int8 dequant in-kernel; ops/pallas_decode_kernel)
+        decode_lens=None,  # Int[b] per-row valid counts (kernel early exit)
         prefill: bool = False,  # cached prefill: attend over the chunk alone
         # with the flash kernel (the chunk IS the whole valid prefix; the
         # dense path would build an O(n * cap) score matrix against the
@@ -258,6 +259,7 @@ class Attention(nn.Module):
                 k_scale=k_sc if quant_cache else None,
                 v_scale=v_sc if quant_cache else None,
                 softcap=self.softcap_value,
+                lens=decode_lens,
             )
         elif self.attn_impl == "flash" and fused:
             from transfusion_tpu.ops.pallas_attn import transfusion_flash_attention

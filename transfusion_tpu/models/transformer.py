@@ -174,6 +174,7 @@ class TransformerBlock(nn.Module):
         flash_spans,  # Int[b, m, 3] | None
         value_residual_valid=None,  # None | Bool[] — see Attention
         decode_bias=None,  # Float[b, 8, cap] | None — see Attention
+        decode_lens=None,  # Int[b] | None — see Attention
     ):
         ind = self.layer_index
 
@@ -246,6 +247,7 @@ class TransformerBlock(nn.Module):
             value_residual_valid=value_residual_valid,
             flash_spec=flash_spec,
             decode_bias=decode_bias,
+            decode_lens=decode_lens,
             prefill=self.prefill,
             deterministic=self.deterministic,
             **adaptive_kwargs,
@@ -444,6 +446,7 @@ class Transformer(nn.Module):
         flash_causal = False
         fused_nomask = False
         decode_bias = None
+        decode_lens = None
         if (
             (use_flash or prefill_flash)
             and (spans is not None or causal)
@@ -474,6 +477,11 @@ class Transformer(nn.Module):
                 valid = jnp.arange(cap)[None, :] < (idx_b + n)
             bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
             decode_bias = jnp.broadcast_to(bias[:, None, :], (b, 8, cap))
+            # per-row valid counts bound each row's kv streaming (valid
+            # slots are a prefix in every decode path)
+            decode_lens = jnp.broadcast_to(
+                jnp.sum(valid, axis=-1).astype(jnp.int32), (b,)
+            )
             mask = None
         else:
             mask = self._build_mask(n, cache, causal, spans, attn_mask, b)
@@ -556,7 +564,7 @@ class Transformer(nn.Module):
             s, attn_values, layer_new_cache = block(
                 s, skip, cond, cond_index, mask, rope, is_any_modality,
                 value_residual, layer_cache, flash_spans,
-                decode_bias=decode_bias,
+                decode_bias=decode_bias, decode_lens=decode_lens,
             )
             if value_residual is None:
                 value_residual = attn_values

@@ -63,14 +63,20 @@ def _decode_kernel_dma(
     nk: int,
 ):
     if quant:
-        (q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, bias_ref, o_ref,
+        (lens_ref, q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, bias_ref, o_ref,
          k_buf, v_buf, ks_buf, vs_buf, sems) = refs
     else:
-        (q_ref, k_hbm, v_hbm, bias_ref, o_ref, k_buf, v_buf, sems) = refs
+        (lens_ref, q_ref, k_hbm, v_hbm, bias_ref, o_ref,
+         k_buf, v_buf, sems) = refs
         ks_buf = vs_buf = None
 
     bi = pl.program_id(0)
     hi = pl.program_id(1)
+
+    # per-row early exit (ragged batched serving): this row's valid slots
+    # are the prefix [0, lens[bi]) — stream only the blocks that cover it,
+    # so a short request in a batch doesn't pay the longest one's traffic
+    nk_row = jnp.clip((lens_ref[bi] + bk - 1) // bk, 1, nk)
 
     def dmas(slot, ik):
         start = ik * bk
@@ -107,7 +113,7 @@ def _decode_kernel_dma(
         slot = jax.lax.rem(ik, 2)
         next_slot = jax.lax.rem(ik + 1, 2)
 
-        @pl.when(ik + 1 < nk)
+        @pl.when(ik + 1 < nk_row)
         def _prefetch():
             for dma in dmas(next_slot, ik + 1):
                 dma.start()
@@ -148,7 +154,7 @@ def _decode_kernel_dma(
         jnp.zeros((nq, 1), jnp.float32),
         jnp.zeros((nq, d), jnp.float32),
     )
-    m_f, l_f, acc = jax.lax.fori_loop(0, nk, body, init)
+    m_f, l_f, acc = jax.lax.fori_loop(0, nk_row, body, init)
     o_ref[0, 0] = acc / jnp.maximum(l_f, 1e-30)
 
 
@@ -161,11 +167,16 @@ def decode_attention(
     k_scale=None,  # Float[b, h, 1, cap] — required when kT is int8
     v_scale=None,
     softcap: float = 50.0,
+    lens=None,  # Int[b] — per-row valid-slot count (prefix); bounds each
+    # row's kv streaming so ragged batches don't all pay the longest
+    # row's traffic. None = stream the full capacity.
 ):
     b, h, nq, d = q.shape
     cap = kT.shape[3]
     quant = kT.dtype == jnp.int8
     assert quant == (k_scale is not None), "int8 cache needs scales"
+    if lens is None:
+        lens = jnp.full((b,), cap, jnp.int32)
 
     bk = _pick_bk(cap)
     assert bk is not None, f"cap {cap} not divisible by a supported block"
@@ -187,11 +198,11 @@ def decode_attention(
     )
 
     in_specs = [
-        pl.BlockSpec((1, 1, nq_pad, d), lambda b, h: (b, h, 0, 0)),  # q
+        pl.BlockSpec((1, 1, nq_pad, d), lambda b, h, *_: (b, h, 0, 0)),  # q
         pl.BlockSpec(memory_space=pltpu.ANY),  # kT — HBM, manual DMA
         pl.BlockSpec(memory_space=pltpu.ANY),  # vT
     ]
-    args = [qf, kT, vT]
+    args = [lens.astype(jnp.int32), qf, kT, vT]
     n_streams = 2
     scratch = [
         pltpu.VMEM((2, d, bk), kT.dtype),
@@ -209,18 +220,24 @@ def decode_attention(
         ]
         n_streams = 4
     in_specs.append(
-        pl.BlockSpec((1, 8, cap), lambda b, h: (b, 0, 0))  # bias (VMEM)
+        pl.BlockSpec((1, 8, cap), lambda b, h, *_: (b, 0, 0))  # bias (VMEM)
     )
     args.append(bias)
     scratch.append(pltpu.SemaphoreType.DMA((2, n_streams)))
 
-    out = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # lens — read before the kv loop starts
         grid=(b, h),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, nq_pad, d), lambda b, h: (b, h, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, nq_pad, d), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (1, 1, nq_pad, d), lambda b, h, *_: (b, h, 0, 0)
+        ),
         scratch_shapes=scratch,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, nq_pad, d), jnp.float32),
         interpret=jax.default_backend() == "cpu",
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")
