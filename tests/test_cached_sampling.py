@@ -426,3 +426,49 @@ def test_ragged_int8_smoke():
     assert toks.shape == (2, 5)
     assert (np.asarray(toks) >= 0).all()
     assert (np.asarray(toks) < model.num_text_tokens).all()
+
+
+def test_decode_kernel_padded_prefill_slot_gap():
+    """Regression (r2 review): after a padded prefill the cache write
+    pointer sits at the padded width while the mask marks only the true
+    prefix — the decode kernel's early exit must bound streaming by
+    idx + n (the freshly written slot), not the valid-slot COUNT, or the
+    new token's K/V silently falls out of its own attention."""
+    kw = dict(num_text_tokens=8, dim_latent=16, modality_default_shape=(4,),
+              pad_multiple=64)
+    tcfg = dict(dim=32, depth=2, dim_head=32, heads=2)
+    dense = Transfusion(transformer=dict(**tcfg, attn_impl="dense"), **kw)
+    flash = Transfusion(transformer=dict(**tcfg, attn_impl="flash"), **kw)
+    params = dense.init_params(jax.random.PRNGKey(0))
+
+    # 100 real tokens pad to 128 -> prefill idx = 128; with cap 384 the
+    # kernel's block size is 128, so slot 128 (the decode write) lives in
+    # block 1 while only 101 slots are valid
+    toks = np.r_[dense.sos_id, (np.arange(99) % 8)].astype(np.int32)
+    packed = jax.tree.map(
+        jnp.asarray,
+        dense.pack([[toks]], wrap_sos_eos=False, add_meta=False),
+    )
+    assert packed.text.shape[1] == 128
+
+    outs = {}
+    for name, model in (("dense", dense), ("flash", flash)):
+        last, cache = model._prefill_impl(params, packed, cap=384)
+        _, logits, _ = model._decode_text_impl(
+            params, cache,
+            jnp.asarray([[5]], jnp.int32),
+            jnp.asarray([[100]], jnp.int32),
+            jax.random.PRNGKey(0),
+            temperature=1.0, min_p=0.1,
+        )
+        outs[name] = np.asarray(logits)
+    np.testing.assert_allclose(outs["flash"], outs["dense"], atol=1e-4)
+
+
+def test_generate_text_batch_rejects_empty_prompt():
+    model = make_model("flash")
+    model.init_params(jax.random.PRNGKey(0))
+    with pytest.raises(AssertionError, match="every prompt needs"):
+        model.generate_text_batch(
+            model.params, [np.asarray([], np.int32)], max_new_tokens=2
+        )

@@ -477,10 +477,15 @@ class Transformer(nn.Module):
                 valid = jnp.arange(cap)[None, :] < (idx_b + n)
             bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
             decode_bias = jnp.broadcast_to(bias[:, None, :], (b, 8, cap))
-            # per-row valid counts bound each row's kv streaming (valid
-            # slots are a prefix in every decode path)
+            # per-row streaming bound for the kernel's early exit: idx + n
+            # covers the highest slot this chunk writes. NOT sum(valid) —
+            # after a padded prefill the valid slots are not a prefix (the
+            # write pointer sits at the padded width while the mask marks
+            # only true tokens), and a count would stop short of the
+            # freshly written slots.
+            idx = cache["idx"]
             decode_lens = jnp.broadcast_to(
-                jnp.sum(valid, axis=-1).astype(jnp.int32), (b,)
+                (idx + n).astype(jnp.int32), (b,)
             )
             mask = None
         else:

@@ -1177,41 +1177,46 @@ class Transfusion:
     # the full prefix every step)
     # ------------------------------------------------------------------
 
-    def _gen_text_impl(
-        self, params, prompt, rng, *, steps, temperature, min_p, quantize=False
-    ):
-        from transfusion_tpu.ops.flow import gumbel_sample
-
-        b, n0 = prompt.shape
-        depth = self.transformer_cfg["depth"]
-        heads = self.transformer_cfg.get("heads", 8)
-        dim_head = self.transformer_cfg.get("dim_head", 64)
-        # capacity rounded to a 128 multiple so the Pallas decode kernel's
-        # block sizes divide it; slots past idx are masked invalid. Flash
-        # models store the cache transposed ([.., d, cap]) — the layout the
-        # decode kernel streams.
+    def _make_decode_cache(self, batch, n0, steps, quantize, track_mask=False):
+        """Cache for the scanned text-decode paths: capacity rounded to a
+        128 multiple so the Pallas decode kernel's block sizes divide it
+        (slots past idx are masked invalid); flash models store it
+        transposed ([.., d, cap]) — the layout the decode kernel streams."""
         cap = -(-(n0 + steps) // 128) * 128
-        cache = make_kv_cache(
-            depth, b, heads, cap, dim_head, dtype=self.dtype,
+        return make_kv_cache(
+            self.transformer_cfg["depth"], batch,
+            self.transformer_cfg.get("heads", 8), cap,
+            self.transformer_cfg.get("dim_head", 64), dtype=self.dtype,
+            track_mask=track_mask,
             quantize="int8" if quantize else None,
             transposed=self.transformer_cfg.get("attn_impl") == "flash",
         )
+
+    def _sample_text_tok(self, key, logits_last, temperature, min_p):
+        """Sample next text token from [b, vocab] logits. Masks to text-only
+        ids BEFORE min-p (reference forward_text masks logits first,
+        :1994-2010): min-p over the full vocab can -inf every text id when
+        special ids dominate, making argmax land on a masked (finite
+        max_neg) non-text id."""
+        from transfusion_tpu.ops.flow import gumbel_sample
+
+        text_only = jnp.arange(self.vocab_size) < self.num_text_tokens
+        masked = jnp.where(
+            text_only[None], logits_last.astype(jnp.float32), -jnp.inf
+        )
+        return gumbel_sample(key, min_p_filter(masked, min_p), temperature)
+
+    def _gen_text_impl(
+        self, params, prompt, rng, *, steps, temperature, min_p, quantize=False
+    ):
+        b, n0 = prompt.shape
+        cache = self._make_decode_cache(b, n0, steps, quantize)
         logits, cache = self.core.apply(
             params, prompt, cache, method="text_forward", prefill=True
         )
-        text_only = jnp.arange(self.vocab_size) < self.num_text_tokens
 
         def sample_tok(key, logits_last):
-            # mask to text-only ids BEFORE min-p (reference forward_text
-            # masks logits first, :1994-2010): min-p over the full vocab can
-            # -inf every text id when special ids dominate, making argmax
-            # land on a masked (finite max_neg) non-text id
-            masked = jnp.where(
-                text_only[None], logits_last.astype(jnp.float32),
-                -jnp.inf,
-            )
-            filtered = min_p_filter(masked, min_p)
-            return gumbel_sample(key, filtered, temperature)
+            return self._sample_text_tok(key, logits_last, temperature, min_p)
 
         def step(carry, _):
             cache, logits_last, rng = carry
@@ -1239,19 +1244,10 @@ class Transfusion:
         request continues from its own history end — continuous-batching
         style serving, which the rectangular path cannot express."""
         from transfusion_tpu.models.transformer import cache_mark_valid
-        from transfusion_tpu.ops.flow import gumbel_sample
 
         b, n0 = prompt.shape
-        depth = self.transformer_cfg["depth"]
-        heads = self.transformer_cfg.get("heads", 8)
-        dim_head = self.transformer_cfg.get("dim_head", 64)
         cap = -(-(n0 + steps) // 128) * 128
-        cache = make_kv_cache(
-            depth, b, heads, cap, dim_head, dtype=self.dtype,
-            track_mask=True,
-            quantize="int8" if quantize else None,
-            transposed=self.transformer_cfg.get("attn_impl") == "flash",
-        )
+        cache = self._make_decode_cache(b, n0, steps, quantize, track_mask=True)
         cache["mask"] = jnp.arange(cap)[None, :] < lengths[:, None]
         logits, cache = self.core.apply(
             params, prompt, cache, method="text_forward", prefill=True
@@ -1259,19 +1255,8 @@ class Transfusion:
         last = logits[jnp.arange(b), lengths - 1]  # per-row last real token
         cache = {**cache, "idx": lengths.astype(jnp.int32)}  # go per-row
 
-        text_only = jnp.arange(self.vocab_size) < self.num_text_tokens
-
         def sample_tok(key, logits_last):
-            # mask to text-only ids BEFORE min-p (reference forward_text
-            # masks logits first, :1994-2010): min-p over the full vocab can
-            # -inf every text id when special ids dominate, making argmax
-            # land on a masked (finite max_neg) non-text id
-            masked = jnp.where(
-                text_only[None], logits_last.astype(jnp.float32),
-                -jnp.inf,
-            )
-            filtered = min_p_filter(masked, min_p)
-            return gumbel_sample(key, filtered, temperature)
+            return self._sample_text_tok(key, logits_last, temperature, min_p)
 
         def step(carry, _):
             cache, logits_last, rng = carry
@@ -1339,9 +1324,21 @@ class Transfusion:
         **kwargs,
     ):
         """Serving convenience: batch ragged requests, decode max_new_tokens
-        each. Returns Int[b, max_new_tokens]."""
+        each. Returns Int[b, max_new_tokens].
+
+        The rectangle width is bucketed to the next power-of-two multiple
+        of 128 so a serving loop with drifting max-history lengths compiles
+        O(log max_len) decode traces, not one per width (same policy as the
+        uncached sample() loop)."""
         lengths = [int(np.asarray(p).size) for p in prompts]
+        assert min(lengths) >= 1, (
+            "generate_text_batch: every prompt needs >= 1 token (an empty "
+            "row has no position to continue from — seed it with a BOS/sos "
+            f"token); got lengths {lengths}"
+        )
         L0 = max(lengths)
+        chunks = -(-L0 // 128)
+        L0 = 128 * (1 << (chunks - 1).bit_length())  # width bucket
         arr = np.zeros((len(prompts), L0), np.int32)
         for i, p in enumerate(prompts):
             arr[i, : lengths[i]] = np.asarray(p, np.int32).reshape(-1)
