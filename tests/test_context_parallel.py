@@ -189,3 +189,20 @@ def test_cp_seq_divisibility_error():
             params, packed, jax.random.PRNGKey(1), None, None,
             prob_uncond=0.0, velocity_delta=1e-3, train=False,
         )
+
+
+def test_cp_rejects_attention_dropout():
+    """ring/cp schedules have no dropout hook — config must be rejected
+    (r2 review finding: silently dropping regularization)."""
+    import pytest
+    from transfusion_tpu.models.transformer import Transformer
+    from transfusion_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(context=2)
+    t = Transformer(
+        dim=32, depth=1, heads=2, dim_head=16, dropout=0.1,
+        attn_impl="ring", mesh=mesh,
+    )
+    x = jnp.zeros((1, 8, 32))
+    with pytest.raises(AssertionError, match="dropout"):
+        t.init(jax.random.PRNGKey(0), x, causal=True)

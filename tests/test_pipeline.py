@@ -238,3 +238,34 @@ def test_pipeline_text_training_matches_single_device():
     l_sd = train(loss_sd)
     np.testing.assert_allclose(l_pp, l_sd, rtol=1e-4)
     assert l_pp[-1] < l_pp[0]
+
+
+def test_pipeline_bf16_matches_transformer():
+    """bf16 models: the pipelined time-conditioning must run at the model
+    dtype like nn.Dense(dtype=...) does (r2 review finding)."""
+    t = _transformer(dtype=jnp.bfloat16)
+    params, x, spans, times_inst = _init(t)
+    n = x.shape[1]
+    ref, _ = t.apply(
+        {"params": params}, x, times_inst=times_inst, spans=spans,
+        rotary_pos=jnp.arange(n),
+    )
+    mesh = make_mesh(data=2, pipe=4)
+    out = pipeline_transformer_forward(
+        params, t, mesh, microbatches=2, x=x,
+        times_inst=times_inst, spans=spans, rotary_pos=jnp.arange(n),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref, np.float32), np.asarray(out, np.float32), atol=3e-2
+    )
+
+
+def test_pipeline_rejects_depth_one():
+    t = _transformer(depth=1)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, DIM)), jnp.float32)
+    params = t.init(
+        jax.random.PRNGKey(0), x, causal=True, rotary_pos=jnp.arange(16)
+    )["params"]
+    with pytest.raises(AssertionError, match="depth >= 2"):
+        stack_block_params(params, 1)

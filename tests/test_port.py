@@ -326,3 +326,27 @@ def test_port_rejects_mismatched_checkpoint():
     )
     with pytest.raises((KeyError, ValueError)):
         port_from_reference(ref.state_dict(), model)
+
+
+def test_key_map_honors_gate_values_flag():
+    """attn_gate_values=False models have no to_gates on either side —
+    the key map must omit it (r2 review finding: port/export KeyError)."""
+    from transfusion_tpu.models.port import reference_key_map
+    from transfusion_tpu.models.transfusion import Transfusion
+
+    def build(gate_values):
+        return Transfusion(
+            num_text_tokens=8,
+            dim_latent=8,
+            modality_default_shape=(2,),
+            transformer=dict(
+                dim=16, depth=2, dim_head=8, heads=2,
+                attn_gate_values=gate_values,
+            ),
+            pad_multiple=8,
+        )
+
+    keys_on = [k for k, *_ in reference_key_map(build(True))]
+    keys_off = [k for k, *_ in reference_key_map(build(False))]
+    assert any("to_gates" in k for k in keys_on)
+    assert not any("to_gates" in k for k in keys_off)

@@ -66,6 +66,7 @@ def reference_key_map(model):
     cfg = model.transformer_cfg
     depth = cfg["depth"]
     unet_skips = cfg.get("unet_skips", True)
+    gate_values = cfg.get("attn_gate_values", True)
     streams = cfg.get("num_residual_streams", 1)
     assert streams == 1, (
         "porting is only defined for num_residual_streams=1 (the reference "
@@ -136,9 +137,17 @@ def reference_key_map(model):
                 mapping += [
                     T(f"{a}.fn.to_qk.0.weight", (*blk, fn_name, "to_qk", "kernel")),
                     T(f"{a}.fn.to_v.0.weight", (*blk, fn_name, "to_v", "kernel")),
-                    T(f"{a}.fn.to_gates.0.weight", (*blk, fn_name, "to_gates", "kernel")),
                     T(f"{a}.fn.to_out.1.weight", (*blk, fn_name, "to_out", "kernel")),
                 ]
+                if gate_values:
+                    # to_gates exists only when gate_values=True on both
+                    # sides (ref :902-905 / layers.py Attention)
+                    mapping.append(
+                        T(
+                            f"{a}.fn.to_gates.0.weight",
+                            (*blk, fn_name, "to_gates", "kernel"),
+                        )
+                    )
                 if i > 0:  # learned value-residual mix (ref :896-900)
                     mapping += [
                         T(

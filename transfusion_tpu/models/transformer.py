@@ -387,6 +387,11 @@ class Transformer(nn.Module):
     ):
         b, n, _ = x.shape
         is_cp = self.attn_impl in ("ring", "cp_allgather")
+        assert not (is_cp and self.dropout > 0), (
+            f"attn_impl='{self.attn_impl}' does not implement attention "
+            "dropout (the ring/all-gather schedules have no dropout hook) "
+            "— set dropout=0 or use the dense/flash path"
+        )
         use_flash = (
             self.attn_impl == "flash" or is_cp
         ) and cache is None

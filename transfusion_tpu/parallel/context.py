@@ -28,6 +28,27 @@ from jax.sharding import Mesh, PartitionSpec as P
 from transfusion_tpu.ops.norms import softclamp, max_neg_value
 
 
+def _global_allowed(batch, rows, cols, spans, causal):
+    """The transfusion mask (causal | modality rectangles) at GLOBAL
+    (row, col) indices — the one mask construction both CP schedules share.
+
+    rows: [nl, 1]; cols: [1, nc]. Returns Bool[b, nl, nc] or None (no
+    structural mask)."""
+    allowed = None
+    if causal or spans is not None:
+        allowed = jnp.broadcast_to(
+            (rows >= cols)[None], (batch, rows.shape[0], cols.shape[1])
+        )
+    if spans is not None:
+        offs, lens = spans[..., 1], spans[..., 2]  # [b, m]
+        rect = (
+            (rows[None, None] >= offs[:, :, None, None])
+            & (cols[None, None] < (offs + lens)[:, :, None, None])
+        ).any(axis=1)
+        allowed = allowed | rect
+    return allowed
+
+
 def _offset_attention(q, k, v, spans, causal, softcap, row_offset):
     """Dense attention where q rows are global positions row_offset + i.
 
@@ -45,19 +66,7 @@ def _offset_attention(q, k, v, spans, causal, softcap, row_offset):
 
     rows = row_offset + jnp.arange(nl)[:, None]  # [nl, 1] global
     cols = jnp.arange(n)[None, :]
-
-    allowed = None
-    if causal or spans is not None:
-        allowed = rows >= cols  # [nl, n]
-        allowed = jnp.broadcast_to(allowed[None], (b, nl, n))
-    if spans is not None:
-        offs = spans[..., 1]  # [b, m]
-        lens = spans[..., 2]
-        rect = (
-            (rows[None, None] >= offs[:, :, None, None])
-            & (cols[None, None] < (offs + lens)[:, :, None, None])
-        ).any(axis=1)
-        allowed = allowed | rect
+    allowed = _global_allowed(b, rows, cols, spans, causal)
 
     if allowed is not None:
         sim = jnp.where(allowed[:, None], sim, max_neg_value(sim.dtype))
@@ -87,17 +96,7 @@ def _online_block_update(state, q, k_chunk, v_chunk, spans, causal, softcap,
 
     rows = row_offset + jnp.arange(nl)[:, None]
     cols = col_offset + jnp.arange(nc)[None, :]
-
-    allowed = None
-    if causal or spans is not None:
-        allowed = jnp.broadcast_to((rows >= cols)[None], (b, nl, nc))
-    if spans is not None:
-        offs, lens = spans[..., 1], spans[..., 2]
-        rect = (
-            (rows[None, None] >= offs[:, :, None, None])
-            & (cols[None, None] < (offs + lens)[:, :, None, None])
-        ).any(axis=1)
-        allowed = allowed | rect
+    allowed = _global_allowed(b, rows, cols, spans, causal)
     if allowed is not None:
         s = jnp.where(allowed[:, None], s, NEG_INF_RING)
 

@@ -38,7 +38,6 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import re
-from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -76,6 +75,11 @@ def stack_block_params(transformer_params: dict, depth: int):
 
     Requires `unet_skips=False` (no `skip_proj_*` params) — asserted.
     """
+    assert depth >= 2, (
+        "pipeline parallelism needs depth >= 2: the canonical block always "
+        "carries a value-residual mix (shaped from layer 1), which a "
+        "depth-1 stack cannot provide"
+    )
     layers = []
     template = None
     for i in range(depth):
@@ -173,6 +177,7 @@ def pipeline_blocks(
     flash_spans=None,  # Int[b, m, 3] | None (flash path)
     flash_causal: bool = False,
     remat: bool = False,
+    remat_policy: str = "full",  # 'full' | 'dots' — as Transformer
 ):
     """Run the stacked block params as `pipe` stages over `mesh`.
 
@@ -243,7 +248,16 @@ def pipeline_blocks(
 
         layer_fn = apply_layer
         if remat:
-            layer_fn = jax.checkpoint(apply_layer, prevent_cse=True)
+            policy = None
+            if remat_policy == "dots":
+                policy = (
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                )
+            else:
+                assert remat_policy == "full", remat_policy
+            layer_fn = jax.checkpoint(
+                apply_layer, prevent_cse=True, policy=policy
+            )
 
         def run_stage(xc, vres, valid, a):
             def scan_fn(carry, layer_params):
@@ -319,10 +333,17 @@ def pipeline_blocks(
 # ---------------------------------------------------------------------------
 
 
-def _dense(params: dict, x):
-    y = x @ params["kernel"]
+def _dense(params: dict, x, dtype=None):
+    """Matches nn.Dense(dtype=...): inputs AND kernel cast to the compute
+    dtype before the matmul, so bf16 models get bf16 conditioning here
+    exactly as in Transformer.__call__."""
+    k = params["kernel"]
+    if dtype is not None:
+        x, k = x.astype(dtype), k.astype(dtype)
+    y = x @ k
     if "bias" in params:
-        y = y + params["bias"]
+        b = params["bias"]
+        y = y + (b.astype(dtype) if dtype is not None else b)
     return y
 
 
@@ -340,7 +361,7 @@ def pipeline_transformer_forward(
     is_any_modality=None,
     rotary_pos=None,  # Int[n] | Int[b, n] | None
     stacked_params=None,  # pass a pre-stacked tree to avoid re-stacking
-    remat: bool = False,
+    remat=None,  # None = inherit transformer.remat (+ remat_policy)
 ):
     """`Transformer.__call__`-equivalent forward, pipelined over 'pipe'.
 
@@ -352,6 +373,8 @@ def pipeline_transformer_forward(
     assert t.unet_skips is False, "pipeline requires unet_skips=False"
     assert t.num_residual_streams == 1
     assert t.dropout == 0.0
+    if remat is None:
+        remat = t.remat  # honor the model's own remat config
     b, n, dim = x.shape
 
     # --- time conditioning (replicated — cheap) — transformer.py:310-348 ---
@@ -368,7 +391,9 @@ def pipeline_transformer_forward(
             [jnp.zeros((b, 1), times_inst.dtype), times_inst], axis=1
         )
         rfe = random_fourier_embed(inst_times, t.dim, weights=fourier_w)
-        cond = jax.nn.silu(_dense(transformer_params["to_time_cond"], rfe))
+        cond = jax.nn.silu(
+            _dense(transformer_params["to_time_cond"], rfe, t.dtype)
+        )
         inst_mask = spans_to_instance_mask(n, spans)
         cond_index = jnp.einsum(
             "bmn,m->bn", inst_mask.astype(jnp.int32), jnp.arange(1, m + 1)
@@ -377,7 +402,9 @@ def pipeline_transformer_forward(
         if times.ndim == 0:
             times = jnp.broadcast_to(times, (b,))
         rfe = random_fourier_embed(times, t.dim, weights=fourier_w)
-        cond = jax.nn.silu(_dense(transformer_params["to_time_cond"], rfe))
+        cond = jax.nn.silu(
+            _dense(transformer_params["to_time_cond"], rfe, t.dtype)
+        )
     if cond is not None and cond.ndim == 2:
         cond = cond[:, None, :]
 
@@ -432,6 +459,7 @@ def pipeline_transformer_forward(
         flash_spans=flash_spans,
         flash_causal=flash_causal,
         remat=remat,
+        remat_policy=t.remat_policy,
     )
 
     # final RMSNorm (transformer.py:445) — replicated
