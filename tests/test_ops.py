@@ -330,3 +330,14 @@ def test_generate_modality_only_adaptive():
     )
     assert np.asarray(out).shape == (1, 2, 2, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_odeint_adaptive_reaches_endpoint_on_step_exhaustion():
+    """max_steps exhaustion must not silently return a partial
+    integration: the closing Euler step carries the state to t1
+    (r2 review finding)."""
+    from transfusion_tpu.ops.odeint import odeint_adaptive
+
+    fn = lambda t, y: jnp.ones_like(y)  # dy/dt = 1 -> y(1) = y0 + 1
+    y = odeint_adaptive(fn, jnp.zeros((4,)), 0.0, 1.0, max_steps=1)
+    np.testing.assert_allclose(np.asarray(y), np.ones(4), atol=1e-5)

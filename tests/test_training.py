@@ -192,3 +192,36 @@ def test_mesh_sharded_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(
         float(got["loss"]), float(want["loss"]), rtol=1e-5
     )
+
+
+def test_mesh_restore_reapplies_shardings(tmp_path):
+    """restore() must hand back MESH-SHARDED params/moments/EMA, not host
+    arrays (r2 review: a replicated restore OOMs topologies where params
+    only fit sharded)."""
+    from transfusion_tpu.parallel.mesh import shard_params
+
+    mesh = make_mesh(data=2, tensor=2)
+    model = tiny_model()
+    t1 = Trainer(model, mesh=mesh, checkpoint_dir=str(tmp_path / "ck"))
+    s1 = t1.init_state(jax.random.PRNGKey(0))
+    s1, _ = t1.train_step(s1, tiny_batch(), jax.random.PRNGKey(1))
+    t1.save(s1)
+
+    t2 = Trainer(model, mesh=mesh, checkpoint_dir=str(tmp_path / "ck"))
+    s2 = t2.restore(t2.init_state(jax.random.PRNGKey(7)))
+    want = shard_params(s2.params, mesh)
+
+    def leaf_shardings(tree):
+        return [
+            getattr(x, "sharding", None) for x in jax.tree.leaves(tree)
+        ]
+
+    for got, exp in zip(leaf_shardings(s2.params), jax.tree.leaves(want)):
+        assert got is not None and got.is_equivalent_to(exp, exp.mesh.size), (
+            got, exp,
+        )
+    # adam moments and the EMA copy are param-shaped: sharded the same way
+    for got, exp in zip(
+        leaf_shardings(s2.ema.params), jax.tree.leaves(want)
+    ):
+        assert got is not None and got.is_equivalent_to(exp, exp.mesh.size)

@@ -347,3 +347,44 @@ def test_bf16_compute_dtype():
     )
     l32 = model32.loss(params, batch, jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(l16), float(l32), rtol=0.1)
+
+
+def test_per_modality_encoder_list_with_none():
+    """(module, None) with exactly two modalities means 'encoder for
+    modality 0, none for modality 1' — not a (module, params) pair
+    replicated to both (r2 review finding)."""
+    import flax.linen as nn
+
+    class Enc(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return x * 2.0
+
+    model = Transfusion(
+        num_text_tokens=8,
+        dim_latent=(4, 8),
+        modality_default_shape=((2,), (2,)),
+        transformer=dict(dim=16, depth=1, dim_head=8, heads=2),
+        pad_multiple=8,
+        modality_encoder=(Enc(), None),
+    )
+    assert model.encoders[0] is not None
+    assert model.encoders[1] is None
+
+
+def test_custom_modality_shape_fn_reaches_parser():
+    """A custom to_modality_shape_fn defines its own meta format — the
+    default codec's digit/comma gate must not block it (r2 review)."""
+    model = Transfusion(
+        num_text_tokens=8,
+        dim_latent=4,
+        modality_default_shape=(9, 9),
+        to_modality_shape_fn=lambda s: tuple(int(x) for x in s.split("x")),
+        transformer=dict(dim=16, depth=1, dim_head=8, heads=2),
+        pad_multiple=8,
+    )
+    meta = [model.meta_id] + [
+        model.char_offset + ord(c) for c in "4x4"
+    ] + [model.som_ids[0]]
+    shape = model._parse_modality_shape(np.asarray(meta, np.int64), 0)
+    assert shape == (4, 4), shape

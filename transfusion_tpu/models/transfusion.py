@@ -308,7 +308,6 @@ class TransfusionCore(nn.Module):
 
     def decode_modality_rows(
         self, latents, t, rotary_pos, cache, modality_type: int,
-        write_time: float | None = None,
     ):
         """Cached forward of one modality's rows (the ODE tail).
 
@@ -322,8 +321,7 @@ class TransfusionCore(nn.Module):
         if pos is not None:
             in_rows = in_rows + pos[None]
 
-        cond_t = t if write_time is None else write_time
-        times_tok = jnp.full((b, L), cond_t)
+        times_tok = jnp.full((b, L), t)
         embed, new_cache = self.transformer(
             in_rows.astype(self.dtype),
             times=times_tok,
@@ -521,8 +519,15 @@ class Transfusion:
             if x is None:
                 return [None] * T
             tup = x if isinstance(x, (tuple, list)) else (x,)
-            if len(tup) == 2 and isinstance(tup[0], nn.Module) and not isinstance(
-                tup[1], nn.Module
+            if (
+                len(tup) == 2
+                and isinstance(tup[0], nn.Module)
+                and not isinstance(tup[1], nn.Module)
+                # disambiguate (module, params) from a 2-modality list
+                # [module, None]: a pair's second element is a params
+                # pytree — None there only means lazy params, which we
+                # only assume when a per-modality reading is impossible
+                and (tup[1] is not None or T != 2)
             ):
                 tup = (tup,)  # single (module, params) pair
             tup = list(tup)
@@ -856,9 +861,14 @@ class Transfusion:
 
         if has_velocity:
             ema_keys = jax.random.split(rng_noise_ema, max(len(packed.groups), 1))
+            # the EMA velocity target is conditioned on the REAL text: the
+            # reference copies the sample before its CFG dropout block
+            # (ref :2334-2337), so CFG-dropped samples still get a
+            # clean-text velocity target
+            packed_ema = packed.replace(text=packed.text[:, :-1])
             _, _, ema_pred_flows, _, _, _ = self._joint_core(
                 ema_params,
-                packed_in,
+                packed_ema,
                 orig_times + velocity_delta,
                 ema_keys,
                 deterministic=True,
@@ -1181,9 +1191,10 @@ class Transfusion:
         """Cache for the scanned text-decode paths: capacity rounded to a
         128 multiple so the Pallas decode kernel's block sizes divide it
         (slots past idx are masked invalid); flash models store it
-        transposed ([.., d, cap]) — the layout the decode kernel streams."""
+        transposed ([.., d, cap]) — the layout the decode kernel streams.
+        Returns (cache, cap)."""
         cap = -(-(n0 + steps) // 128) * 128
-        return make_kv_cache(
+        cache = make_kv_cache(
             self.transformer_cfg["depth"], batch,
             self.transformer_cfg.get("heads", 8), cap,
             self.transformer_cfg.get("dim_head", 64), dtype=self.dtype,
@@ -1191,6 +1202,7 @@ class Transfusion:
             quantize="int8" if quantize else None,
             transposed=self.transformer_cfg.get("attn_impl") == "flash",
         )
+        return cache, cap
 
     def _sample_text_tok(self, key, logits_last, temperature, min_p):
         """Sample next text token from [b, vocab] logits. Masks to text-only
@@ -1210,7 +1222,7 @@ class Transfusion:
         self, params, prompt, rng, *, steps, temperature, min_p, quantize=False
     ):
         b, n0 = prompt.shape
-        cache = self._make_decode_cache(b, n0, steps, quantize)
+        cache, _ = self._make_decode_cache(b, n0, steps, quantize)
         logits, cache = self.core.apply(
             params, prompt, cache, method="text_forward", prefill=True
         )
@@ -1246,8 +1258,9 @@ class Transfusion:
         from transfusion_tpu.models.transformer import cache_mark_valid
 
         b, n0 = prompt.shape
-        cap = -(-(n0 + steps) // 128) * 128
-        cache = self._make_decode_cache(b, n0, steps, quantize, track_mask=True)
+        cache, cap = self._make_decode_cache(
+            b, n0, steps, quantize, track_mask=True
+        )
         cache["mask"] = jnp.arange(cap)[None, :] < lengths[:, None]
         logits, cache = self.core.apply(
             params, prompt, cache, method="text_forward", prefill=True
@@ -1412,8 +1425,14 @@ class Transfusion:
         shape = None
         if meta.size > 0:
             meta_str = decode_chars(meta[:-1], offset=self.char_offset)
+            # the comma/digit pre-gate only applies to the DEFAULT codec;
+            # a custom to_modality_shape_fn defines its own format and must
+            # get the raw string (its exceptions still mean fallback)
             parts = meta_str.split(",")
-            if all(p.isdigit() and int(p) > 0 for p in parts) and meta_str:
+            gate_ok = mc.to_shape_fn is not default_to_modality_shape_fn or (
+                bool(meta_str) and all(p.isdigit() and int(p) > 0 for p in parts)
+            )
+            if gate_ok and meta_str:
                 try:
                     shape = tuple(mc.to_shape_fn(meta_str))
                 except Exception:
@@ -1599,7 +1618,6 @@ class Transfusion:
                 )
             return packed
 
-        num_past_modalities = sum(1 for it in sample_items if isinstance(it, tuple))
         curr_length = 0
         curr_modality_id = None
         modality_shape = None
@@ -1732,7 +1750,6 @@ class Transfusion:
                 sample_items.append(np.asarray([self.eom_ids[mid]], np.int32))
 
                 curr_length += L
-                num_past_modalities += 1
                 curr_modality_id = None
                 modality_shape = None
                 is_decoding_text = True
@@ -1829,7 +1846,12 @@ class Transfusion:
     ):
         """KV-cached sampling loop: prefill once, then per-token text decode
         and tail-only ODE steps. Functionally equivalent to the uncached
-        path; O(history) work is paid once instead of per step/token."""
+        path; the CONDITIONAL stream's O(history) work is paid once instead
+        of per step/token. The unconditional (CFG) cache is rebuilt with a
+        fresh prefill at each modality — exactly the reference's cost
+        profile (ref :1847-1854); maintaining it incrementally would double
+        every text-decode step, a poor trade unless generations emit many
+        modalities between short text runs."""
         use_cfg = cfg_scale != 1.0
 
         def seq_stats(items):

@@ -84,7 +84,6 @@ def odeint_adaptive(
     t0 = jnp.asarray(t0, jnp.float32)
     t1 = jnp.asarray(t1, jnp.float32)
     span = t1 - t0
-    leaves = jax.tree_util.tree_leaves(y0)
 
     def max_abs(tree):
         return jnp.max(
@@ -120,8 +119,23 @@ def odeint_adaptive(
         return t_next, y_next, dt_next, n + 1
 
     init_dt = span / 16.0
-    _, y_final, _, _ = jax.lax.while_loop(cond, body, (t0, y0, init_dt, 0))
-    return y_final
+    t_end, y_final, _, _ = jax.lax.while_loop(
+        cond, body, (t0, y0, init_dt, 0)
+    )
+
+    # max_steps exhaustion (a stiff flow rejecting every step) would
+    # otherwise return a silently partial integration; close any remaining
+    # gap to t1 with one explicit Euler step so the result always reaches
+    # the endpoint (bounded error instead of silent truncation)
+    gap = t1 - t_end
+
+    def close(y):
+        k = fn(t_end, y)
+        return jax.tree.map(lambda y_, d_: y_ + gap * d_, y, k)
+
+    return jax.lax.cond(
+        gap > 1e-6 * jnp.abs(span), close, lambda y: y, y_final
+    )
 
 
 def odeint(

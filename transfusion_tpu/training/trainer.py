@@ -196,6 +196,39 @@ class Trainer:
         step = step if step is not None else mgr.latest_step()
         if step is None:
             return None
-        return mgr.restore(
+        state = mgr.restore(
             step, args=ocp.args.StandardRestore(jax.device_get(state_template))
         )
+        if self.mesh is not None:
+            # re-apply the mesh shardings init_state established: orbax
+            # returns host arrays and the next jit would otherwise place
+            # them replicated — an OOM on topologies where params (and the
+            # param-shaped optimizer moments / EMA copy) only fit sharded.
+            # Any subtree structurally identical to the param tree (adam
+            # mu/nu, ema.params, ...) gets the same path-based shardings.
+            shardings = shard_params(state.params, self.mesh)
+            params_treedef = jax.tree.structure(state.params)
+
+            import dataclasses as _dc
+
+            def put_like_params(t):
+                if jax.tree.structure(t) == params_treedef:
+                    return jax.device_put(t, shardings)
+                if isinstance(t, dict):
+                    return {k: put_like_params(v) for k, v in t.items()}
+                if isinstance(t, tuple):
+                    sub = [put_like_params(x) for x in t]
+                    return type(t)(*sub) if hasattr(t, "_fields") else tuple(sub)
+                if isinstance(t, list):
+                    return [put_like_params(x) for x in t]
+                if _dc.is_dataclass(t) and not isinstance(t, type):
+                    return type(t)(
+                        **{
+                            f.name: put_like_params(getattr(t, f.name))
+                            for f in _dc.fields(t)
+                        }
+                    )
+                return t
+
+            state = put_like_params(state)
+        return state
