@@ -322,7 +322,14 @@ def pack_samples(
     n = pad_len if pad_len is not None else round_up_to_multiple(
         max(max_len, 1) + 1, pad_multiple
     ) + (1 if shift_friendly else 0)
-    assert n >= max_len, f"pad_len {n} < longest sample {max_len}"
+    # shift_friendly packs for the training path's text[:, :-1] shift — an
+    # exact-fit pad there would silently truncate the last real token of
+    # max-length samples (and drop span tails out of the scatter)
+    min_n = max_len + (1 if shift_friendly else 0)
+    assert n >= min_n, (
+        f"pad_len {n} too small for longest sample {max_len}"
+        + (" + 1 shift slot (shift_friendly=True)" if shift_friendly else "")
+    )
 
     m = max(
         span_multiple,
@@ -414,12 +421,14 @@ def apply_modality_fn(
         for ii, item in enumerate(sample):
             if isinstance(item, tuple):
                 t, arr = item
-            elif hasattr(item, "dtype") and np.issubdtype(
-                np.asarray(item).dtype, np.floating
-            ):
-                t, arr = 0, item
             else:
-                continue
+                # np.asarray FIRST: plain Python float lists are legal
+                # modality items everywhere else (pack_samples asarray's
+                # them), so the encoder must see them too
+                arr_np = np.asarray(item)
+                if not np.issubdtype(arr_np.dtype, np.floating):
+                    continue
+                t, arr = 0, arr_np
             if t == modality_type:
                 located.append((si, ii, np.asarray(arr)))
 

@@ -41,6 +41,50 @@ BK = 512
 NEG_INF = -1e30
 
 
+def _span_allowed(spans_ref, b, rows, cols, allowed, *, use_spans, num_spans):
+    """OR the per-span rectangles (rows >= off & cols < off+len) into
+    `allowed`. THE single definition of the transfusion span mask inside
+    the kernels — forward, backward, and block summaries all route here so
+    they can never desynchronize."""
+    if use_spans:
+        for sp in range(num_spans):
+            off = spans_ref[b, sp, 1]
+            ln = spans_ref[b, sp, 2]
+            allowed = allowed | ((ln > 0) & (rows >= off) & (cols < off + ln))
+    return allowed
+
+
+def _mask_tile(s, spans_ref, b, q_start, k_start, *, use_spans, num_spans,
+               bq, bk):
+    """Apply causal|spans to one [bq, bk] score tile at global offsets."""
+    rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    allowed = _span_allowed(
+        spans_ref, b, rows, cols, rows >= cols,
+        use_spans=use_spans, num_spans=num_spans,
+    )
+    return jnp.where(allowed, s, NEG_INF)
+
+
+def _blk_visibility(spans_ref, b, q_start, q_end, k_start, bk, *, use_spans,
+                    num_spans):
+    """Block-level mask summary for a [q_start..q_end] x [k_start..k_start
+    +bk) tile: (any visible at all, fully visible — mask evaluation can be
+    skipped)."""
+    blk_any = q_end >= k_start
+    blk_full = q_start >= (k_start + bk - 1)
+    if use_spans:
+        for sp in range(num_spans):
+            off = spans_ref[b, sp, 1]
+            ln = spans_ref[b, sp, 2]
+            has = ln > 0
+            blk_any = blk_any | (has & (q_end >= off) & (k_start < off + ln))
+            blk_full = blk_full | (
+                has & (q_start >= off) & ((k_start + bk - 1) < off + ln)
+            )
+    return blk_any, blk_full
+
+
 def _kernel(
     spans_ref,  # i32[b, m, 3] scalar-prefetch (SMEM)
     q_ref,  # [1, 1, BQ, D]
@@ -77,8 +121,6 @@ def _kernel(
     hi_tok = jnp.minimum(hi_tok, n - 1)
     hi = (hi_tok // bk) + 1  # number of kv blocks to visit
 
-    rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-
     def body(ik, carry):
         m_prev, l_prev, acc = carry
         k_start = ik * bk
@@ -92,22 +134,19 @@ def _kernel(
         if softcap > 0:
             s = jnp.tanh(s / softcap) * softcap
 
-        # block fully causal-visible?
-        blk_full = q_start >= (k_start + bk - 1)
+        # fully visible (causally OR inside a span rectangle): skip the
+        # mask evaluation — span-interior tiles are the common case for
+        # the transfusion workload
+        _, blk_full = _blk_visibility(
+            spans_ref, b, q_start, q_end, k_start, bk,
+            use_spans=use_spans, num_spans=num_spans,
+        )
 
         def masked(s):
-            cols = k_start + jax.lax.broadcasted_iota(
-                jnp.int32, (bq, bk), 1
+            return _mask_tile(
+                s, spans_ref, b, q_start, k_start,
+                use_spans=use_spans, num_spans=num_spans, bq=bq, bk=bk,
             )
-            allowed = rows >= cols
-            if use_spans:
-                for sp in range(num_spans):
-                    off = spans_ref[b, sp, 1]
-                    ln = spans_ref[b, sp, 2]
-                    allowed = allowed | (
-                        (ln > 0) & (rows >= off) & (cols < off + ln)
-                    )
-            return jnp.where(allowed, s, NEG_INF)
 
         s = jax.lax.cond(blk_full, lambda s: s, masked, s)
 
@@ -178,19 +217,10 @@ def _kernel_streamed(
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     # block-level mask summary: skip compute for invisible tiles
-    blk_any = (q_end >= k_start)
-    blk_full = q_start >= (k_start + bk - 1)
-    if use_spans:
-        for sp in range(num_spans):
-            off = spans_ref[b, sp, 1]
-            ln = spans_ref[b, sp, 2]
-            has = ln > 0
-            blk_any = blk_any | (
-                has & (q_end >= off) & (k_start < off + ln)
-            )
-            blk_full = blk_full | (
-                has & (q_start >= off) & ((k_start + bk - 1) < off + ln)
-            )
+    blk_any, blk_full = _blk_visibility(
+        spans_ref, b, q_start, q_end, k_start, bk,
+        use_spans=use_spans, num_spans=num_spans,
+    )
 
     @pl.when(blk_any)
     def _compute():
@@ -204,17 +234,10 @@ def _kernel_streamed(
             s = jnp.tanh(s / softcap) * softcap
 
         def masked(s):
-            rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-            cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-            allowed = rows >= cols
-            if use_spans:
-                for sp in range(num_spans):
-                    off = spans_ref[b, sp, 1]
-                    ln = spans_ref[b, sp, 2]
-                    allowed = allowed | (
-                        (ln > 0) & (rows >= off) & (cols < off + ln)
-                    )
-            return jnp.where(allowed, s, NEG_INF)
+            return _mask_tile(
+                s, spans_ref, b, q_start, k_start,
+                use_spans=use_spans, num_spans=num_spans, bq=bq, bk=bk,
+            )
 
         s = jax.lax.cond(blk_full, lambda s: s, masked, s)
 
@@ -247,8 +270,8 @@ def _flash_fwd(q, k, v, spans, causal, softcap, save_lse: bool = False):
         spans = jnp.zeros((b, 1, 3), jnp.int32)
     m = spans.shape[1]
     scale = d**-0.5
-    bq = _pick_block(n, (BQ, 256, 128, 64, 32, 16, 8))
-    bk = _pick_block(n, (BK, 512, 256, 128, 64, 32, 16, 8))
+    bq = _pick_block(n, (BQ, 128, 64, 32, 16, 8))
+    bk = _pick_block(n, (BK, 256, 128, 64, 32, 16, 8))
     streamed = n * d > _MAX_N_TIMES_D_RESIDENT
 
     out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
@@ -370,16 +393,10 @@ def _recompute_p(q_blk, k_blk, spans_ref, b, q_start, k_start, lse_blk,
     if softcap > 0:
         s = jnp.tanh(s / softcap) * softcap
 
-    rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-    cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-    allowed = rows >= cols
-    if use_spans:
-        for sp in range(num_spans):
-            off = spans_ref[b, sp, 1]
-            ln = spans_ref[b, sp, 2]
-            allowed = allowed | ((ln > 0) & (rows >= off) & (cols < off + ln))
-
-    s_masked = jnp.where(allowed, s, NEG_INF)
+    s_masked = _mask_tile(
+        s, spans_ref, b, q_start, k_start,
+        use_spans=use_spans, num_spans=num_spans, bq=bq, bk=bk,
+    )
     p = jnp.exp(s_masked - lse_blk)  # lse_blk: [bq, 1]
     return p, s
 
@@ -518,14 +535,10 @@ def _bwd_dkv_kernel_streamed(
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    blk_any = q_end >= k_start  # causal visibility
-    if use_spans:
-        for sp in range(num_spans):
-            off = spans_ref[b, sp, 1]
-            ln = spans_ref[b, sp, 2]
-            blk_any = blk_any | (
-                (ln > 0) & (q_end >= off) & (k_start < off + ln)
-            )
+    blk_any, _ = _blk_visibility(
+        spans_ref, b, q_start, q_end, k_start, bk,
+        use_spans=use_spans, num_spans=num_spans,
+    )
 
     @pl.when(blk_any)
     def _compute():
@@ -582,14 +595,10 @@ def _bwd_dq_kernel_streamed(
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    blk_any = q_end >= k_start
-    if use_spans:
-        for sp in range(num_spans):
-            off = spans_ref[b, sp, 1]
-            ln = spans_ref[b, sp, 2]
-            blk_any = blk_any | (
-                (ln > 0) & (q_end >= off) & (k_start < off + ln)
-            )
+    blk_any, _ = _blk_visibility(
+        spans_ref, b, q_start, q_end, k_start, bk,
+        use_spans=use_spans, num_spans=num_spans,
+    )
 
     @pl.when(blk_any)
     def _compute():
@@ -631,8 +640,8 @@ def _flash_bwd_streamed(q, k, v, spans, o, lse, g, causal, softcap):
         spans = jnp.zeros((b, 1, 3), jnp.int32)
     m = spans.shape[1]
     scale = d**-0.5
-    bq = _pick_block(n, (BQ, 256, 128, 64, 32, 16, 8))
-    bk = _pick_block(n, (BK, 512, 256, 128, 64, 32, 16, 8))
+    bq = _pick_block(n, (BQ, 128, 64, 32, 16, 8))
+    bk = _pick_block(n, (BK, 256, 128, 64, 32, 16, 8))
 
     delta = jnp.sum(
         g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
@@ -715,8 +724,8 @@ def _flash_bwd(q, k, v, spans, o, lse, g, causal, softcap):
         spans = jnp.zeros((b, 1, 3), jnp.int32)
     m = spans.shape[1]
     scale = d**-0.5
-    bq = _pick_block(n, (BQ, 256, 128, 64, 32, 16, 8))
-    bk = _pick_block(n, (BK, 512, 256, 128, 64, 32, 16, 8))
+    bq = _pick_block(n, (BQ, 128, 64, 32, 16, 8))
+    bk = _pick_block(n, (BK, 256, 128, 64, 32, 16, 8))
 
     delta = jnp.sum(
         g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
@@ -814,10 +823,14 @@ _flash_attention_core.defvjp(_fwd, _bwd)
 
 # Mosaic requires block last-two dims divisible by (8, 128) (or equal to the
 # array dim); padding every sequence to a 128 multiple keeps the bq >= 128
-# lse/output blocks legal for ANY caller length. Padded query rows see no
-# keys (l==0 guard) and are sliced off; padded key columns are never visible
-# to real rows (causality needs j <= i < n_real; span rectangles end < n_real)
-# — so padding is semantically inert on both the forward and backward.
+# lse/output blocks legal for ANY caller length. Why padding is inert:
+# padded key columns are never visible to REAL rows (causality needs
+# j <= i < n_real; span rectangles end < n_real). Padded QUERY rows do
+# attend causally (to zero-keys), producing garbage values — they are
+# sliced off the forward output, and in the backward their cotangents are
+# zero (do rows beyond n_real are zero after the same slicing), so they
+# contribute nothing to dq/dk/dv. Do NOT rely on padded rows being zeroed
+# or on their lse being meaningful.
 _SEQ_PAD = 128
 
 
