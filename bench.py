@@ -67,17 +67,21 @@ def main():
 
     # best-of-5 repeats: the remote tunnel has multi-second degraded windows
     # (observed 120k-233k tok/s spread on identical code) that a single
-    # window conflates with device time
-    steps, best_dt = 20, float("inf")
+    # window conflates with device time; median-of-5 reported alongside so
+    # the capture is robust to one lucky/unlucky window
+    steps, dts = 20, []
     for _ in range(5):
         t0 = time.perf_counter()
         for i in range(steps):
             key, k = jax.random.split(key)
             state, metrics = trainer.train_step(state, packed, k)
         float(metrics["loss"])  # materialize: depends on every step
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        dts.append(time.perf_counter() - t0)
 
+    best_dt = min(dts)
+    median_dt = float(np.median(dts))
     tps = tokens_per_step * steps / best_dt
+    tps_median = tokens_per_step * steps / median_dt
 
     baseline = None
     path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
@@ -90,6 +94,10 @@ def main():
         "value": round(tps, 1),
         "unit": "tokens/sec",
         "vs_baseline": round(tps / baseline, 2) if baseline else None,
+        "median_of_5": round(tps_median, 1),
+        "median_vs_baseline": (
+            round(tps_median / baseline, 2) if baseline else None
+        ),
     }
     print(json.dumps(out))
 

@@ -20,3 +20,27 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# build the native fastpack extension once per session if it's absent, so
+# the C++-vs-numpy parity test (test_packing.py) actually runs in CI
+# instead of skipping
+import importlib  # noqa: E402
+import subprocess  # noqa: E402
+import sys  # noqa: E402
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+try:
+    importlib.import_module("transfusion_tpu._fastpack")
+except ImportError:
+    r = subprocess.run(
+        [sys.executable, "setup.py", "build_ext", "--inplace"],
+        cwd=_REPO,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    if r.returncode != 0:
+        sys.stderr.write(
+            "fastpack build failed (tests will skip native parity):\n"
+            + r.stderr[-2000:]
+        )

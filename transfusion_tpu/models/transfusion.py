@@ -44,6 +44,7 @@ import dataclasses
 import functools
 import logging
 import math
+import warnings
 from typing import Any, Callable, NamedTuple, Optional, Sequence
 
 import flax.linen as nn
@@ -530,6 +531,16 @@ class Transfusion:
                 and (tup[1] is not None or T != 2)
             ):
                 tup = (tup,)  # single (module, params) pair
+            elif len(tup) == 2 and isinstance(tup[0], nn.Module) and tup[1] is None:
+                # T == 2 and the bare (module, None) form is ambiguous: it
+                # is read as the per-modality list [module, None]. A lazy-
+                # params pair must be spelled [(module, None)].
+                warnings.warn(
+                    "(module, None) with 2 modality types is read as a "
+                    "per-modality list [encoder, no-encoder]; spell a "
+                    "lazy-params pair as [(module, None)]",
+                    stacklevel=3,
+                )
             tup = list(tup)
             assert len(tup) in (1, T)
             if len(tup) == 1 and T > 1:

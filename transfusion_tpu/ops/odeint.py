@@ -133,8 +133,10 @@ def odeint_adaptive(
         k = fn(t_end, y)
         return jax.tree.map(lambda y_, d_: y_ + gap * d_, y, k)
 
+    # abs(gap): sign-correct for reverse-time spans too (the Euler close
+    # y + gap*k already carries gap's sign)
     return jax.lax.cond(
-        gap > 1e-6 * jnp.abs(span), close, lambda y: y, y_final
+        jnp.abs(gap) > 1e-6 * jnp.abs(span), close, lambda y: y, y_final
     )
 
 

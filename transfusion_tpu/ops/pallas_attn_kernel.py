@@ -828,7 +828,7 @@ _flash_attention_core.defvjp(_fwd, _bwd)
 # j <= i < n_real; span rectangles end < n_real). Padded QUERY rows do
 # attend causally (to zero-keys), producing garbage values — they are
 # sliced off the forward output, and in the backward their cotangents are
-# zero (do rows beyond n_real are zero after the same slicing), so they
+# zero (dO rows beyond n_real are zero after the same slicing), so they
 # contribute nothing to dq/dk/dv. Do NOT rely on padded rows being zeroed
 # or on their lse being meaningful.
 _SEQ_PAD = 128

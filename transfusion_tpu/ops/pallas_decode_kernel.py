@@ -155,7 +155,10 @@ def _decode_kernel_dma(
         jnp.zeros((nq, d), jnp.float32),
     )
     m_f, l_f, acc = jax.lax.fori_loop(0, nk_row, body, init)
-    o_ref[0, 0] = acc / jnp.maximum(l_f, 1e-30)
+    # a fully-masked row (lens=0 / all -inf bias) would otherwise average
+    # garbage V rows with uniform weights — return zeros instead
+    valid = m_f > NEG_INF / 2
+    o_ref[0, 0] = jnp.where(valid, acc / jnp.maximum(l_f, 1e-30), 0.0)
 
 
 def decode_attention(
