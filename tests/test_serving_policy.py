@@ -1,0 +1,90 @@
+"""Serving auto-policy: the measured crossover table (docs_evidence.md,
+"Serving decode") must be what plan_serving encodes, and the model API must
+consult it when kv_quantize is left at None."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transfusion_tpu.models.serving import ServingPlan, plan_serving
+from transfusion_tpu.models.transfusion import Transfusion
+
+
+# the four measured corners of the serving-decode table plus the exclusions
+@pytest.mark.parametrize(
+    "cap,batch,kwargs,kernel,int8",
+    [
+        # b=1 hist=2048: dispatch-floor regime — dense + bf16
+        (2048, 1, {}, False, False),
+        # b=1 hist=8192: kernel + int8 both win
+        (8192, 1, {}, True, True),
+        # b=8 hist=2048: int8 wins but only via the in-kernel dequant;
+        # kernel not at the cap crossover -> dense + bf16 (int8 through the
+        # XLA dense path is measured SLOWER than bf16)
+        (2048, 8, {}, False, False),
+        # b=8 hist=8192: kernel + int8
+        (8192, 8, {}, True, True),
+        # structural exclusions always force dense + bf16
+        (32768, 8, dict(laser=True), False, False),
+        (32768, 8, dict(has_spans=True), False, False),
+        (32768, 8, dict(tokens_per_step=4), False, False),
+        (32768, 8, dict(flash=False), False, False),
+    ],
+)
+def test_plan_serving_crossovers(cap, batch, kwargs, kernel, int8):
+    plan = plan_serving(cap, batch, **kwargs)
+    assert isinstance(plan, ServingPlan)
+    assert plan.use_decode_kernel == kernel, plan.reasons
+    assert plan.kv_quantize == int8, plan.reasons
+    assert plan.reasons  # every decision records why
+
+
+def test_int8_needs_kernel():
+    """int8 via the XLA dense path materializes the dequantized cache in
+    HBM each step (measured slower than bf16) — the policy must never pick
+    int8 without the kernel."""
+    for cap in (128, 1024, 2048, 4096, 8192, 32768):
+        for batch in (1, 4, 8, 32):
+            plan = plan_serving(cap, batch)
+            assert not (plan.kv_quantize and not plan.use_decode_kernel)
+
+
+def _tiny_flash_model():
+    return Transfusion(
+        num_text_tokens=32,
+        dim_latent=8,
+        modality_default_shape=(2, 2),
+        transformer=dict(
+            dim=32, depth=1, dim_head=16, heads=2, attn_impl="flash"
+        ),
+        pad_multiple=16,
+    )
+
+
+def test_resolver_auto_vs_explicit():
+    model = _tiny_flash_model()
+    # auto, small cap: dense layout, bf16
+    q, t = model._resolve_serving_plan(256, 1, None)
+    assert (q, t) == (False, False)
+    # auto, serving-scale cap: kernel layout + int8
+    q, t = model._resolve_serving_plan(8192, 1, None)
+    assert (q, t) == (True, True)
+    # explicit flags keep the legacy layout rule (transposed iff flash)
+    q, t = model._resolve_serving_plan(8192, 1, False)
+    assert (q, t) == (False, True)
+    q, t = model._resolve_serving_plan(256, 1, True)
+    assert (q, t) == (True, True)
+
+
+def test_generate_text_only_auto_policy_runs():
+    """End-to-end: default kv_quantize=None routes through the policy and
+    produces tokens (small cap -> plain layout, dense cached path)."""
+    model = _tiny_flash_model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    prompt = jnp.asarray(np.zeros((1, 4), np.int32))
+    out = model.generate_text_only(
+        params, prompt, seq_len=12, rng=jax.random.PRNGKey(1)
+    )
+    assert out.shape == (1, 8)
+    assert int(jnp.max(out)) < model.num_text_tokens

@@ -1,0 +1,130 @@
+"""Serving auto-policy: pick the decode cache layout and dtype from the
+workload instead of making the caller hand-tune flags.
+
+The crossovers are measured on 1x TPU v5e (docs_evidence.md, "Serving
+decode" table; scripts/probe_int8_kv.py, probe_decode_kernel.py,
+probe_sample_history.py):
+
+- **Decode kernel vs XLA dense** (Pallas (b,h)-grid manual-DMA kernel over
+  the transposed [b,h,d,cap] cache): the kernel's win is cache-streaming
+  bandwidth, so it takes over once the history is large — measured faster
+  from ~8k-slot caches, while at <=2k the whole decode step sits at the
+  dispatch floor and dense edges it out. The kernel is structurally
+  excluded for LASER models, span-masked steps, and multi-token chunks
+  (per-row causality is not expressible as a row bias).
+- **int8 KV vs bf16**: int8 halves cache HBM traffic but only wins when
+  the cache read dominates the step: measured wins at hist>=8k (b=1:
+  2.56 vs 3.05 ms/tok) and at b>=8 from 2k histories (4.98 vs 5.84);
+  measured LOSS at b=1 hist=2k (1.11 vs 1.05 — dispatch-floor-bound, the
+  quant/dequant overhead is pure cost).
+
+A wrong hand-picked flag silently costs 15-35%; `plan_serving` encodes the
+measured table so `generate_text_only` / `sample` default to the right
+configuration (pass explicit booleans to override).
+
+The torch reference has no serving stack at all (its generate_text_only
+re-forwards the full prefix per token, reference transfusion.py:2015-2038),
+so this module has no reference counterpart.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+
+logger = logging.getLogger(__name__)
+
+# measured crossovers (1x v5e, dim 384 / depth 8 / 8x64 heads — see module
+# docstring; re-measure when porting to other chips)
+KERNEL_MIN_CAP = 8192  # decode kernel beats dense from this cache capacity
+INT8_MIN_CAP = 8192  # int8 wins at any batch from this capacity
+INT8_MIN_CAP_BATCHED = 2048  # ... and from here when batch >= INT8_MIN_BATCH
+INT8_MIN_BATCH = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class ServingPlan:
+    """Resolved serving configuration.
+
+    use_decode_kernel decides the cache layout at allocation time: True
+    stores K/V transposed ([.., d, cap] — the layout the Pallas decode
+    kernel streams), False keeps the plain layout and the dense cached
+    path. kv_quantize selects the int8 cache. reasons records why, one
+    clause per decision, for logs/debugging.
+    """
+
+    use_decode_kernel: bool
+    kv_quantize: bool
+    reasons: tuple
+
+
+def plan_serving(
+    cache_capacity: int,
+    batch: int,
+    *,
+    laser: bool = False,
+    has_spans: bool = False,
+    tokens_per_step: int = 1,
+    flash: bool = True,
+) -> ServingPlan:
+    """Choose decode-kernel routing and KV dtype for a serving workload.
+
+    cache_capacity: allocated KV slots (history + generation budget).
+    batch: decode batch size. laser / has_spans / tokens_per_step describe
+    structural exclusions (the kernel handles only per-slot-validity masks
+    on single-token steps). flash: model runs attn_impl='flash' (the dense
+    attn_impl never routes to the kernel).
+    """
+    reasons = []
+
+    excluded = None
+    if not flash:
+        excluded = "attn_impl != 'flash'"
+    elif laser:
+        excluded = "LASER attention (needs per-value renorm the kernel lacks)"
+    elif has_spans:
+        excluded = "span-masked step (structural mask not a row bias)"
+    elif tokens_per_step > 1:
+        excluded = "multi-token chunk (per-row causality not a row bias)"
+
+    if excluded is not None:
+        use_kernel = False
+        reasons.append(f"decode kernel excluded: {excluded}")
+    elif cache_capacity >= KERNEL_MIN_CAP:
+        use_kernel = True
+        reasons.append(
+            f"decode kernel: cap {cache_capacity} >= {KERNEL_MIN_CAP} "
+            "(cache streaming dominates; kernel wins)"
+        )
+    else:
+        use_kernel = False
+        reasons.append(
+            f"dense cached path: cap {cache_capacity} < {KERNEL_MIN_CAP} "
+            "(dispatch-floor regime; dense edges out the kernel)"
+        )
+
+    # int8 only pays when the in-kernel dequant keeps HBM traffic int8-wide;
+    # through the XLA dense path it is measured SLOWER than bf16 (the
+    # dequantized cache materializes in HBM each step)
+    if use_kernel and (
+        cache_capacity >= INT8_MIN_CAP
+        or (batch >= INT8_MIN_BATCH and cache_capacity >= INT8_MIN_CAP_BATCHED)
+    ):
+        quantize = True
+        reasons.append(
+            f"int8 KV: cap {cache_capacity} x batch {batch} past the "
+            "measured crossover (cache read dominates; halved traffic wins)"
+        )
+    else:
+        quantize = False
+        if use_kernel:
+            reasons.append(
+                f"bf16 KV: cap {cache_capacity} x batch {batch} below the "
+                "int8 crossover (quant overhead beats the bandwidth saving)"
+            )
+        else:
+            reasons.append("bf16 KV: int8 only wins via the in-kernel dequant")
+
+    plan = ServingPlan(use_kernel, quantize, tuple(reasons))
+    logger.debug("serving plan: %s", plan)
+    return plan

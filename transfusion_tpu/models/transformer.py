@@ -26,6 +26,7 @@ instead slices internally, ref :1161-1168).
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -46,6 +47,8 @@ from transfusion_tpu.ops.hyper_connections import (
 )
 from transfusion_tpu.ops.rope import rope_angles
 from transfusion_tpu.ops.spans import spans_to_attn_mask, spans_to_is_any_modality
+
+_logger = logging.getLogger(__name__)
 
 
 def make_kv_cache(
@@ -290,15 +293,30 @@ class Transformer(nn.Module):
     def _use_decode_kernel(self, cache, prefill, spans, attn_mask, causal, n):
         """Cached-decode steps route to the Pallas decode kernel when the
         mask reduces to per-slot validity: no structural spans/attn_mask, and
-        causality only via the write index (single-token text decode)."""
+        causality only via the write index (single-token text decode).
+        Exclusions on a kernel-layout cache are logged once per trace so a
+        silently-dense serving path is visible (a LASER model, span-masked
+        chunk, or multi-token step forfeits the kernel's 15-35% long-history
+        win — docs_evidence.md serving table)."""
         if cache is None or prefill or self.attn_impl != "flash":
             return False
         if "kT" not in cache:
             return False  # kernel needs the transposed cache layout
-        if spans is not None or attn_mask is not None or self.attn_laser:
+
+        def _excluded(why):
+            _logger.info(
+                "decode kernel excluded for this cached step (%s) — "
+                "falling back to the dense cached path", why,
+            )
             return False
+
+        if self.attn_laser:
+            return _excluded("LASER attention")
+        if spans is not None or attn_mask is not None:
+            return _excluded("structural span/attention mask")
         if causal and n != 1:
-            return False  # per-row causality not expressible as a row bias
+            # per-row causality not expressible as a row bias
+            return _excluded(f"multi-token causal chunk (n={n})")
         from transfusion_tpu.ops.pallas_decode_kernel import decode_supported
 
         return decode_supported(cache_capacity(cache), self.dim_head, n)

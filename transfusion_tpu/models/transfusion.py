@@ -1198,22 +1198,45 @@ class Transfusion:
     # the full prefix every step)
     # ------------------------------------------------------------------
 
-    def _make_decode_cache(self, batch, n0, steps, quantize, track_mask=False):
+    def _make_decode_cache(
+        self, batch, n0, steps, quantize, track_mask=False, transposed=None
+    ):
         """Cache for the scanned text-decode paths: capacity rounded to a
         128 multiple so the Pallas decode kernel's block sizes divide it
         (slots past idx are masked invalid); flash models store it
-        transposed ([.., d, cap]) — the layout the decode kernel streams.
+        transposed ([.., d, cap]) — the layout the decode kernel streams —
+        unless the serving policy picked the dense path (transposed=False).
         Returns (cache, cap)."""
         cap = -(-(n0 + steps) // 128) * 128
+        if transposed is None:
+            transposed = self.transformer_cfg.get("attn_impl") == "flash"
         cache = make_kv_cache(
             self.transformer_cfg["depth"], batch,
             self.transformer_cfg.get("heads", 8), cap,
             self.transformer_cfg.get("dim_head", 64), dtype=self.dtype,
             track_mask=track_mask,
             quantize="int8" if quantize else None,
-            transposed=self.transformer_cfg.get("attn_impl") == "flash",
+            transposed=transposed,
         )
         return cache, cap
+
+    def _resolve_serving_plan(self, cap, batch, kv_quantize):
+        """Resolve a user kv_quantize flag (None = auto) into
+        (quantize, transposed) via the measured serving policy
+        (models/serving.py). Explicit flags keep the legacy layout rule
+        (transposed iff flash) so hand-tuned setups are untouched."""
+        flash = self.transformer_cfg.get("attn_impl") == "flash"
+        if kv_quantize is not None:
+            return bool(kv_quantize), flash
+        from transfusion_tpu.models.serving import plan_serving
+
+        plan = plan_serving(
+            cap, batch,
+            laser=bool(self.transformer_cfg.get("attn_laser", False)),
+            flash=flash,
+        )
+        logger.debug("serving auto-policy: %s", "; ".join(plan.reasons))
+        return plan.kv_quantize, plan.use_decode_kernel and flash
 
     def _sample_text_tok(self, key, logits_last, temperature, min_p):
         """Sample next text token from [b, vocab] logits. Masks to text-only
@@ -1230,10 +1253,13 @@ class Transfusion:
         return gumbel_sample(key, min_p_filter(masked, min_p), temperature)
 
     def _gen_text_impl(
-        self, params, prompt, rng, *, steps, temperature, min_p, quantize=False
+        self, params, prompt, rng, *, steps, temperature, min_p,
+        quantize=False, transposed=None,
     ):
         b, n0 = prompt.shape
-        cache, _ = self._make_decode_cache(b, n0, steps, quantize)
+        cache, _ = self._make_decode_cache(
+            b, n0, steps, quantize, transposed=transposed
+        )
         logits, cache = self.core.apply(
             params, prompt, cache, method="text_forward", prefill=True
         )
@@ -1258,7 +1284,7 @@ class Transfusion:
 
     def _gen_text_ragged_impl(
         self, params, prompt, lengths, rng, *, steps, temperature, min_p,
-        quantize=False,
+        quantize=False, transposed=None,
     ):
         """Ragged batched decode: prompt rows padded to a rectangle, row i's
         real history is lengths[i] tokens. Prefill attends chunk-causally
@@ -1270,7 +1296,7 @@ class Transfusion:
 
         b, n0 = prompt.shape
         cache, cap = self._make_decode_cache(
-            b, n0, steps, quantize, track_mask=True
+            b, n0, steps, quantize, track_mask=True, transposed=transposed
         )
         cache["mask"] = jnp.arange(cap)[None, :] < lengths[:, None]
         logits, cache = self.core.apply(
@@ -1306,8 +1332,12 @@ class Transfusion:
         rng=None,
         temperature: float = 1.5,
         min_p: float = 0.1,
-        kv_quantize: bool = False,  # int8 KV cache (serving: halves the
-        # decode-time cache bandwidth vs bf16; see make_kv_cache)
+        kv_quantize: Optional[bool] = None,  # int8 KV cache (serving:
+        # halves decode-time cache bandwidth vs bf16; see make_kv_cache).
+        # None (default) = auto: the measured serving policy
+        # (models/serving.py) picks int8 AND the decode-kernel cache layout
+        # from (capacity, batch); an explicit bool forces the dtype and
+        # keeps the legacy layout rule
         prompt_lengths=None,  # Int[b] — ragged serving: row i's real
         # history is prompt[i, :prompt_lengths[i]] (rows padded to the
         # rectangle); every row decodes seq_len - prompt.shape[-1] tokens
@@ -1318,26 +1348,33 @@ class Transfusion:
         if steps == 0:
             return prompt[..., 0:0]
         rng = default(rng, jax.random.PRNGKey(0))
+        b = prompt.shape[0] if prompt.ndim == 2 else 1
+        cap = -(-seq_len // 128) * 128
+        quantize, transposed = self._resolve_serving_plan(cap, b, kv_quantize)
         if prompt_lengths is not None:
             fn = self._get_jit(
                 "gen_text_ragged",
                 functools.partial(self._gen_text_ragged_impl),
-                static_argnames=("steps", "temperature", "min_p", "quantize"),
+                static_argnames=(
+                    "steps", "temperature", "min_p", "quantize", "transposed"
+                ),
             )
             return fn(
                 params, prompt, jnp.asarray(prompt_lengths, jnp.int32), rng,
                 steps=steps, temperature=float(temperature),
-                min_p=float(min_p), quantize=bool(kv_quantize),
+                min_p=float(min_p), quantize=quantize, transposed=transposed,
             )
         fn = self._get_jit(
             "gen_text",
             functools.partial(self._gen_text_impl),
-            static_argnames=("steps", "temperature", "min_p", "quantize"),
+            static_argnames=(
+                "steps", "temperature", "min_p", "quantize", "transposed"
+            ),
         )
         return fn(
             params, prompt, rng,
             steps=steps, temperature=float(temperature), min_p=float(min_p),
-            quantize=bool(kv_quantize),
+            quantize=quantize, transposed=transposed,
         )
 
     def generate_text_batch(
@@ -1543,13 +1580,19 @@ class Transfusion:
         text_min_p: float = 0.1,
         cache_kv: bool = False,  # KV-cached fast path: prefill once, then
         # per-token text decode + tail-only ODE steps (_sample_cached)
-        kv_quantize: bool = False,  # with cache_kv: int8 KV cache (serving —
-        # halves cache HBM traffic vs bf16; see make_kv_cache)
+        kv_quantize: Optional[bool] = None,  # with cache_kv: int8 KV cache
+        # (serving — halves cache HBM traffic vs bf16; see make_kv_cache).
+        # None (default) = auto via the measured serving policy
+        # (models/serving.py); an explicit bool forces it
         fixed_modality_shape: Optional[tuple] = None,
         init_modality_noise=None,
         modality_steps: int = 16,
         return_unprocessed_modalities: bool = False,
         cfg_scale: float = 3.0,
+        incremental_cfg_cache: bool = True,  # with cache_kv + CFG: maintain
+        # the uncond stream in the same batch-2 cache (no per-modality
+        # O(history) uncond prefill). False = rebuild per segment (the
+        # reference's cost profile; results identical)
     ):
         params = default(params, self.params)
         rng = default(rng, jax.random.PRNGKey(0))
@@ -1606,6 +1649,7 @@ class Transfusion:
                 params, sample_items, rng, max_length, text_temperature,
                 text_min_p, fixed_modality_shape, init_modality_noise,
                 modality_steps, cfg_scale, kv_quantize=kv_quantize,
+                incremental_cfg=incremental_cfg_cache,
             )
             if return_unprocessed_modalities:
                 return sample_items
@@ -1776,17 +1820,19 @@ class Transfusion:
     # cached sampling fast path (cache_kv=True)
     # ------------------------------------------------------------------
 
-    def _prefill_impl(self, params, packed, *, cap, quantize=False):
+    def _prefill_impl(self, params, packed, *, cap, quantize=False, transposed=None):
         from transfusion_tpu.models.transformer import make_kv_cache
 
         b = packed.text.shape[0]
         depth = self.transformer_cfg["depth"]
         heads = self.transformer_cfg.get("heads", 8)
         dim_head = self.transformer_cfg.get("dim_head", 64)
+        if transposed is None:
+            transposed = self.transformer_cfg.get("attn_impl") == "flash"
         cache = make_kv_cache(
             depth, b, heads, cap, dim_head, dtype=self.dtype, track_mask=True,
             quantize="int8" if quantize else None,
-            transposed=self.transformer_cfg.get("attn_impl") == "flash",
+            transposed=transposed,
         )
         cache["mask"] = jnp.arange(cap)[None, :] < packed.lengths[:, None]
         m = packed.spans.shape[1]
@@ -1814,38 +1860,50 @@ class Transfusion:
 
     def _ode_cached_impl(
         self, params, cond_cache, uncond_cache, noise, p0, cfg_scale,
-        *, modality_type, L, steps, use_cfg,
+        *, modality_type, L, steps, use_cfg, rows=1,
     ):
+        """Tail-only CFG ODE over cached history. rows=1: cond (and, with
+        use_cfg, a separate uncond cache) — the rebuild-per-segment mode.
+        rows=2: ONE batch-2 cache carrying [cond, uncond]; the guidance pair
+        is a single batched forward (uncond_cache must be None)."""
         from transfusion_tpu.models.transformer import cache_mark_valid
 
-        rotary = jnp.full((1, L), p0)
-        valid = jnp.ones((1, L), bool)
+        rotary = jnp.full((rows, L), p0)
+        valid = jnp.ones((rows, L), bool)
 
         def flow(t, y):
             cc = cache_mark_valid(cond_cache, valid)
-            f_c, _ = self.core.apply(
-                params, y[None], t, rotary, cc, modality_type,
+            y_in = jnp.broadcast_to(y[None], (rows, *y.shape))
+            f, _ = self.core.apply(
+                params, y_in, t, rotary, cc, modality_type,
                 method="decode_modality_rows",
             )
             if not use_cfg:
-                return f_c[0]
-            uc = cache_mark_valid(uncond_cache, valid)
-            f_u, _ = self.core.apply(
-                params, y[None], t, rotary, uc, modality_type,
-                method="decode_modality_rows",
-            )
-            return (f_u + cfg_scale * (f_c - f_u))[0]
+                return f[0]
+            if rows == 2:
+                f_c, f_u = f[0], f[1]
+            else:
+                uc = cache_mark_valid(uncond_cache, valid)
+                f_u, _ = self.core.apply(
+                    params, y[None], t, rotary, uc, modality_type,
+                    method="decode_modality_rows",
+                )
+                f_c, f_u = f[0], f_u[0]
+            return f_u + cfg_scale * (f_c - f_u)
 
         grid = jnp.linspace(0.0, 1.0, steps)
         return odeint(flow, noise, grid, method=self.odeint_method)
 
-    def _append_modality_impl(self, params, cache, y, p0, *, modality_type, L):
+    def _append_modality_impl(
+        self, params, cache, y, p0, *, modality_type, L, rows=1
+    ):
         from transfusion_tpu.models.transformer import cache_mark_valid
 
-        cache = cache_mark_valid(cache, jnp.ones((1, L), bool))
-        rotary = jnp.full((1, L), p0)
+        cache = cache_mark_valid(cache, jnp.ones((rows, L), bool))
+        rotary = jnp.full((rows, L), p0)
+        y_in = jnp.broadcast_to(y[None], (rows, *y.shape))
         _, cache = self.core.apply(
-            params, y[None], 1.0, rotary, cache, modality_type,
+            params, y_in, 1.0, rotary, cache, modality_type,
             method="decode_modality_rows",
         )
         return cache
@@ -1853,17 +1911,36 @@ class Transfusion:
     def _sample_cached(
         self, params, sample_items, rng, max_length, text_temperature,
         text_min_p, fixed_modality_shape, init_modality_noise, modality_steps,
-        cfg_scale, kv_quantize=False,
+        cfg_scale, kv_quantize=None, incremental_cfg=True,
     ):
         """KV-cached sampling loop: prefill once, then per-token text decode
         and tail-only ODE steps. Functionally equivalent to the uncached
         path; the CONDITIONAL stream's O(history) work is paid once instead
-        of per step/token. The unconditional (CFG) cache is rebuilt with a
-        fresh prefill at each modality — exactly the reference's cost
-        profile (ref :1847-1854); maintaining it incrementally would double
-        every text-decode step, a poor trade unless generations emit many
-        modalities between short text runs."""
+        of per step/token.
+
+        CFG uncond cache: with incremental_cfg (default) the cond and
+        uncond streams share ONE batch-2 cache — text decode streams
+        [token, null_text_id] rows together and the guidance pair is a
+        single batched forward — so the uncond history is maintained
+        incrementally and no per-modality O(history) prefill ever happens.
+        The per-token decode step is dispatch-floor-bound at these sizes, so
+        the second row is nearly free, while the reference re-prefills the
+        uncond stream at every modality segment (ref :1847-1854).
+        incremental_cfg=False keeps that rebuild-per-segment profile (used
+        by the equality test)."""
         use_cfg = cfg_scale != 1.0
+        rows = 2 if (use_cfg and incremental_cfg) else 1
+
+        def uncond_of(items):
+            # uncond stream: every text id (incl. specials/meta) nulled,
+            # modalities kept — exactly the uncond context of training's
+            # prob_uncond dropout (cfg_mask)
+            return [
+                np.where(np.asarray(it) >= 0, self.null_text_id, it)
+                if not isinstance(it, tuple)
+                else it
+                for it in items
+            ]
 
         def seq_stats(items):
             tok_count, collapse = 0, 0
@@ -1884,16 +1961,22 @@ class Transfusion:
         cap = int(
             round_up_to_multiple(tok_count + max_length + 256 + 2, 128)
         )
+        kv_quantize, transposed = self._resolve_serving_plan(
+            cap, 1, kv_quantize
+        )
 
         def prefill(items, this_cap):
-            packed = self.pack([items], wrap_sos_eos=False, add_meta=False)
+            batch_items = [items]
+            if rows == 2:
+                batch_items.append(uncond_of(items))
+            packed = self.pack(batch_items, wrap_sos_eos=False, add_meta=False)
             fn = self._get_jit(
                 "sample_prefill", self._prefill_impl,
-                static_argnames=("cap", "quantize"),
+                static_argnames=("cap", "quantize", "transposed"),
             )
             return fn(
                 params, jax.tree.map(jnp.asarray, packed), cap=this_cap,
-                quantize=bool(kv_quantize),
+                quantize=bool(kv_quantize), transposed=transposed,
             )
 
         last_logits, cache = prefill(sample_items, cap)
@@ -1929,10 +2012,13 @@ class Transfusion:
                 "sample_decode_text", self._decode_text_impl,
                 static_argnames=("temperature", "min_p"),
             )
+            toks = [[tok_to_stream]]
+            if rows == 2:
+                toks.append([self.null_text_id])  # uncond row streams null
             tok_arr, logits, cache = fn(
                 params, cache,
-                jnp.asarray([[tok_to_stream]], jnp.int32),
-                jnp.asarray([[pos]], jnp.int32),
+                jnp.asarray(toks, jnp.int32),
+                jnp.asarray([[pos]] * rows, jnp.int32),
                 key,
                 temperature=float(text_temperature),
                 min_p=float(text_min_p),
@@ -2005,35 +2091,34 @@ class Transfusion:
                     noise = jax.random.normal(key, (*spatial, mc.dim_latent))
 
                 uncond_cache = None
-                if use_cfg:
-                    uncond_items = [
-                        np.where(np.asarray(it) >= 0, self.null_text_id, it)
-                        if not isinstance(it, tuple)
-                        else it
-                        for it in sample_items
-                    ]
+                if use_cfg and rows == 1:
+                    # rebuild-per-segment mode: fresh O(history) uncond
+                    # prefill (the reference's cost profile, ref :1847-1854)
+                    uncond_items = uncond_of(sample_items)
                     u_tok, _ = seq_stats(uncond_items)
                     cap_u = int(round_up_to_multiple(u_tok + L + 2, 128))
                     _, uncond_cache = prefill(uncond_items, cap_u)
 
                 fn = self._get_jit(
                     "sample_ode_cached", self._ode_cached_impl,
-                    static_argnames=("modality_type", "L", "steps", "use_cfg"),
+                    static_argnames=(
+                        "modality_type", "L", "steps", "use_cfg", "rows"
+                    ),
                 )
                 sampled = fn(
                     params, cache, uncond_cache, noise,
                     jnp.int32(p0), jnp.float32(cfg_scale),
                     modality_type=mid, L=L, steps=int(modality_steps),
-                    use_cfg=use_cfg,
+                    use_cfg=use_cfg, rows=rows,
                 )
 
                 fn = self._get_jit(
                     "sample_append_mod", self._append_modality_impl,
-                    static_argnames=("modality_type", "L"),
+                    static_argnames=("modality_type", "L", "rows"),
                 )
                 cache = fn(
                     params, cache, sampled, jnp.int32(p0),
-                    modality_type=mid, L=L,
+                    modality_type=mid, L=L, rows=rows,
                 )
 
                 sample_items.append(

@@ -31,6 +31,57 @@ COLUMN_PARALLEL = ("to_qk", "to_v", "proj_in", "to_time_cond", "skip_proj")
 ROW_PARALLEL = ("to_out", "proj_out")
 
 
+def initialize_distributed(
+    coordinator_address=None,
+    num_processes=None,
+    process_id=None,
+    local_device_ids=None,
+):
+    """Multi-host (DCN) entry point: call ONCE per process before any other
+    jax API, then build meshes with `make_mesh` as usual — `jax.devices()`
+    returns the global device list afterwards and GSPMD handles cross-host
+    collectives transparently.
+
+    All arguments default to the standard env vars / TPU metadata
+    (`jax.distributed.initialize` resolves JAX_COORDINATOR_ADDRESS etc.;
+    on Cloud TPU pods every argument is auto-detected). No-ops when the
+    runtime is already initialized so wrapper scripts can call it
+    unconditionally.
+
+    Topology assumption (see `make_mesh`): the 'data' (outermost) axis is
+    the one that crosses hosts — gradient all-reduce is the only collective
+    that rides DCN; fsdp/tensor/context/pipe collectives stay on ICI within
+    a host's devices.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids,
+        )
+    except RuntimeError as e:  # already initialized — idempotent entry
+        if "already initialized" not in str(e):
+            raise
+    return jax.process_index(), jax.process_count()
+
+
+def order_devices_for_dcn(devices, n: int):
+    """Order a (possibly multi-process) device list so each host's devices
+    are contiguous: with the C-order reshape in `make_mesh`, inner axes
+    (tensor/context/pipe, then fsdp) land inside one host's block and ride
+    ICI, while the outermost 'data' axis spans hosts and rides DCN — the
+    scaling-book layout (DP over DCN, model parallelism over ICI).
+
+    Works with any objects exposing `process_index`/`id` (unit-testable
+    without real multi-host hardware)."""
+    ordered = sorted(
+        devices,
+        key=lambda d: (getattr(d, "process_index", 0), getattr(d, "id", 0)),
+    )
+    return ordered[:n]
+
+
 def make_mesh(
     data: int = 1,
     fsdp: int = 1,
@@ -44,13 +95,18 @@ def make_mesh(
     'context' shards the packed sequence dimension (ring / all-gather
     attention, parallel/context.py); 'pipe' carries pipeline stages
     (parallel/pipeline.py); size 1 axes cost nothing under GSPMD.
+
+    Multi-host: after `initialize_distributed()`, jax.devices() is global
+    and devices are ordered host-contiguous (`order_devices_for_dcn`), so
+    keep model-parallel axis products within one host's device count and
+    let 'data' span hosts — then only the gradient all-reduce crosses DCN.
     """
     devices = devices if devices is not None else jax.devices()
     n = data * fsdp * tensor * context * pipe
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
-    dev_array = np.asarray(devices[:n]).reshape(
-        data, fsdp, tensor, context, pipe
-    )
+    dev_array = np.asarray(
+        order_devices_for_dcn(devices, n), dtype=object
+    ).reshape(data, fsdp, tensor, context, pipe)
     return Mesh(
         dev_array, axis_names=("data", "fsdp", "tensor", "context", "pipe")
     )
