@@ -56,6 +56,11 @@ def main():
     ]
     packed = model.pack(batch, shift_friendly=True)
     tokens_per_step = int(packed.total_tokens)
+    # device-resident batch: re-converting the host arrays every step costs
+    # a host->device upload per step (~25% of the whole step through the
+    # remote tunnel, measured r3 — scripts/probe_r3_bench.py); a production
+    # input pipeline keeps batches on device, so the bench does too
+    packed = jax.tree.map(jnp.asarray, packed)
 
     key = jax.random.PRNGKey(1)
     # warmup / compile; float() forces real completion (on some remote

@@ -13,8 +13,9 @@ axis with ring attention:
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       python examples/train_distributed.py --steps 10 --context 2
 
-Pipeline parallelism — split the layer stack into stages over a 'pipe' axis
-(GPipe microbatch schedule, parallel/pipeline.py; text-LM workload):
+Pipeline parallelism — the full Transfusion joint loss with the transformer
+trunk split into stages over a 'pipe' axis (GPipe microbatch schedule,
+Trainer(pipeline_microbatches=), parallel/pipeline.py):
 
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       python examples/train_distributed.py --steps 10 --pipeline 4
@@ -48,80 +49,57 @@ def factor_devices(n):
 
 
 def train_pipeline(args, n_dev):
-    """GPipe pipeline-parallel causal-LM training (parallel/pipeline.py).
-
-    PP integrates at the transformer-stack level (stacked stage params over
-    the 'pipe' axis), so this path drives the Transformer directly with a
-    byte-LM loss instead of the Trainer."""
-    import jax.numpy as jnp
-    import optax
-
-    from transfusion_tpu.models.transformer import Transformer
-    from transfusion_tpu.parallel.pipeline import pipeline_transformer_forward
-
+    """GPipe pipeline-parallel training of the full Transfusion model
+    (joint multimodal loss) through the Trainer API: the transformer trunk
+    runs as stacked stages over the 'pipe' axis while microbatches split
+    over 'data' (Trainer(pipeline_microbatches=), parallel/pipeline.py)."""
     pipe = args.pipeline
     assert n_dev % pipe == 0, f"{n_dev} devices not divisible by pipe={pipe}"
     data = n_dev // pipe
     mesh = make_mesh(data=data, pipe=pipe)
-    print(f"devices={n_dev} mesh: data={data} pipe={pipe}")
 
-    t = Transformer(
-        dim=256, depth=4 * max(pipe // 4, 1), dim_head=64, heads=4,
-        unet_skips=False, num_residual_streams=1,
-    )
-    vocab, n = 256, 128
-    bs = max(args.batch_size, 2 * data) // data * data
     # largest M <= 2*pipe with bs divisible by M and the per-microbatch
-    # rows divisible by the data axis
-    microbatches = 1
-    for m in range(min(2 * pipe, bs), 0, -1):
+    # rows divisible by the data axis (bubble fraction (pipe-1)/(M+pipe-1))
+    bs = max(args.batch_size, 2 * pipe * data)
+    microbatches = pipe
+    for m in range(min(2 * pipe, bs), pipe - 1, -1):
         if bs % m == 0 and (bs // m) % data == 0:
             microbatches = m
             break
+    print(
+        f"devices={n_dev} mesh: data={data} pipe={pipe} "
+        f"microbatches={microbatches} batch={bs}"
+    )
+
+    model = Transfusion(
+        num_text_tokens=256,
+        dim_latent=32,
+        modality_default_shape=(8, 8),
+        transformer=dict(
+            dim=256, depth=4 * max(pipe // 4, 1), dim_head=64, heads=8,
+            unet_skips=False, num_residual_streams=1,
+        ),
+        pad_multiple=64,
+    )
+    trainer = Trainer(
+        model, learning_rate=3e-4, mesh=mesh,
+        pipeline_microbatches=microbatches,
+        metrics_path="results/distributed_metrics.jsonl",
+    )
+    state = trainer.init_state(jax.random.PRNGKey(args.seed))
 
     rng = np.random.default_rng(args.seed)
-    text = ("the quick brown fox jumps over the lazy dog. " * 64).encode()
-    data_arr = np.frombuffer(text, np.uint8)
-
-    x0 = jnp.zeros((bs, n, 256), jnp.float32)
-    tparams = t.init(
-        jax.random.PRNGKey(args.seed), x0, causal=True,
-        rotary_pos=jnp.arange(n),
-    )["params"]
-    emb = jnp.asarray(
-        rng.standard_normal((vocab, 256)) * 0.02, jnp.float32
-    )
-    params = {"emb": emb, "transformer": tparams}
-
-    def loss_fn(p, tokens):
-        x = p["emb"][tokens]
-        out = pipeline_transformer_forward(
-            p["transformer"], t, mesh, microbatches, x, causal=True,
-            rotary_pos=jnp.arange(n),
+    dataset = [
+        (
+            rng.integers(0, 256, 16).astype(np.int32),
+            rng.standard_normal((8, 8, 32)).astype(np.float32),
         )
-        logits = out @ p["emb"].T
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        return -jnp.mean(
-            jnp.take_along_axis(logp[:, :-1], tokens[:, 1:, None], -1)
-        )
+        for _ in range(256)
+    ]
+    iter_dl = cycle(create_dataloader(dataset, batch_size=bs, shuffle=True))
 
-    tx = optax.adam(1e-3)
-    opt = tx.init(params)
-
-    @jax.jit
-    def step(p, opt, tokens):
-        l, g = jax.value_and_grad(loss_fn)(p, tokens)
-        upd, opt = tx.update(g, opt, p)
-        return optax.apply_updates(p, upd), opt, l
-
-    for s in range(1, args.steps + 1):
-        starts = rng.integers(0, len(data_arr) - n - 1, bs)
-        tokens = jnp.asarray(
-            np.stack([data_arr[st : st + n] for st in starts]), jnp.int32
-        )
-        params, opt, loss = step(params, opt, tokens)
-        if s % 10 == 0 or s == 1:
-            print(f"{s}: {float(loss):.4f}")
+    pathlib.Path("results").mkdir(exist_ok=True)
+    train_loop(trainer, state, iter_dl, args.steps, jax.random.PRNGKey(1))
 
 
 def main():

@@ -206,3 +206,62 @@ def test_cp_rejects_attention_dropout():
     x = jnp.zeros((1, 8, 32))
     with pytest.raises(AssertionError, match="dropout"):
         t.init(jax.random.PRNGKey(0), x, causal=True)
+
+
+# ---------------------------------------------------------------------------
+# Pallas-kernel CP path (d >= 32 routes per-shard compute through the flash
+# kernel with global offsets; parallel/context.py _kernel_eligible)
+# ---------------------------------------------------------------------------
+
+
+def _qkv32(n=128, b=2, h=2, d=32, seed=7):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    return tuple(jax.random.normal(kk, (b, h, n, d)) * 0.5 for kk in ks)
+
+
+@pytest.mark.parametrize("schedule", ["allgather", "ring"])
+def test_cp_kernel_path_matches_dense(schedule):
+    from transfusion_tpu.parallel.context import (
+        _kernel_eligible,
+        context_parallel_attention,
+        ring_attention,
+    )
+
+    mesh = make_mesh_ctx(4)
+    q, k, v = _qkv32()
+    n = q.shape[2]
+    spans = jnp.array(
+        [[[0, 20, 40], [1, 80, 24]], [[0, 10, 60], [0, 0, 0]]], jnp.int32
+    )
+    assert _kernel_eligible(n // 4, n // 4, 32, False, spans)
+
+    fn = context_parallel_attention if schedule == "allgather" else ring_attention
+    got = fn(q, k, v, spans=spans, mesh=mesh)
+    want = _reference_attention(q, k, v, spans, False, 50.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+    got_c = fn(q, k, v, causal=True, mesh=mesh)
+    want_c = _reference_attention(q, k, v, None, True, 50.0)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c), atol=3e-5)
+
+
+@pytest.mark.parametrize("schedule", ["allgather", "ring"])
+def test_cp_kernel_path_grads(schedule):
+    from transfusion_tpu.parallel.context import (
+        context_parallel_attention,
+        ring_attention,
+    )
+
+    mesh = make_mesh_ctx(2)
+    q, k, v = _qkv32(n=64, b=1, h=1, seed=8)
+    spans = jnp.array([[[0, 8, 20]]], jnp.int32)
+
+    fn = context_parallel_attention if schedule == "allgather" else ring_attention
+    f_cp = lambda q, k, v: (fn(q, k, v, spans=spans, mesh=mesh) ** 2).sum()
+    f_dn = lambda q, k, v: (
+        _reference_attention(q, k, v, spans, False, 50.0) ** 2
+    ).sum()
+    g_cp = jax.grad(f_cp, argnums=(0, 1, 2))(q, k, v)
+    g_dn = jax.grad(f_dn, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_cp, g_dn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-4)

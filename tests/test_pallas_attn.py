@@ -236,3 +236,109 @@ def test_streamed_backward_through_training_loss(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4
         )
+
+
+# ---------------------------------------------------------------------------
+# global-offset / lse path (context parallelism, parallel/context.py)
+# ---------------------------------------------------------------------------
+
+
+def test_q_offset_slices_match_full():
+    """flash(q_slice, k_full, q_offset=off) over slices == full flash —
+    the all-gather CP schedule's per-shard computation."""
+    q, k, v = make_qkv(b=2, h=2, n=256)
+    spans = jnp.array(
+        [[[0, 32, 64], [1, 128, 32]], [[0, 16, 48], [1, 200, 40]]], jnp.int32
+    )
+    want = flash_attention(q, k, v, spans, False, 50.0)
+    nl = 64
+    parts = [
+        flash_attention(
+            q[:, :, off : off + nl], k, v, spans, False, 50.0,
+            q_offset=jnp.int32(off),
+        )
+        for off in range(0, 256, nl)
+    ]
+    got = jnp.concatenate(parts, axis=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_lse_matches_dense():
+    """return_lse rows equal the dense logsumexp of masked+softcapped
+    scores."""
+    q, k, v = make_qkv(b=1, h=2, n=128)
+    spans = jnp.array([[[0, 40, 48]]], jnp.int32)
+    out, lse = flash_attention(q, k, v, spans, False, 50.0, return_lse=True)
+
+    # dense lse
+    from transfusion_tpu.ops.spans import spans_to_attn_mask
+
+    d = q.shape[-1]
+    s = jnp.einsum("bhid,bhjd->bhij", q * d**-0.5, k)
+    s = jnp.tanh(s / 50.0) * 50.0
+    mask = spans_to_attn_mask(128, spans)[:, None]
+    s = jnp.where(mask, s, -jnp.inf)
+    want = jax.nn.logsumexp(s, axis=-1)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(want), atol=2e-4)
+
+
+def test_ring_style_chunk_merge_matches_full_with_grads():
+    """Per-chunk (out_i, lse_i) with kv_offset, merged with the log-sum-exp
+    combination, equals full attention — values AND gradients (the lse
+    cotangent path through the backward kernels)."""
+    q, k, v = make_qkv(b=1, h=2, n=256, seed=3)
+    spans = jnp.array([[[0, 48, 64], [1, 160, 64]]], jnp.int32)
+    nc = 64  # chunk length
+
+    def merged(q, k, v):
+        m = jnp.full(q.shape[:3], -1e30, jnp.float32)
+        r = jnp.zeros(q.shape[:3], jnp.float32)
+        acc = jnp.zeros(q.shape, jnp.float32)
+        for c0 in range(0, 256, nc):
+            out_i, lse_i = flash_attention(
+                q, k[:, :, c0 : c0 + nc], v[:, :, c0 : c0 + nc], spans,
+                False, 50.0, kv_offset=jnp.int32(c0), return_lse=True,
+            )
+            m_new = jnp.maximum(m, lse_i)
+            alpha = jnp.exp(m - m_new)
+            w = jnp.exp(lse_i - m_new)
+            acc = acc * alpha[..., None] + out_i.astype(jnp.float32) * w[..., None]
+            r = r * alpha + w
+            m = m_new
+        return acc / jnp.maximum(r, 1e-30)[..., None]
+
+    def full(q, k, v):
+        return flash_attention(q, k, v, spans, False, 50.0)
+
+    got = merged(q, k, v)
+    want = full(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def loss_m(q, k, v):
+        return (merged(q, k, v) ** 2).sum()
+
+    def loss_f(q, k, v):
+        return (full(q, k, v).astype(jnp.float32) ** 2).sum()
+
+    gm = jax.grad(loss_m, argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gm, gf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+def test_q_kv_offset_causal_chunk():
+    """Causal mask with both offsets: a (q rows 128..191) x (kv cols
+    64..127) tile — fully visible; and the reverse — fully masked (lse
+    -inf-like, zero output)."""
+    q, k, v = make_qkv(b=1, h=1, n=256, seed=5)
+    out, lse = flash_attention(
+        q[:, :, 128:192], k[:, :, 64:128], v[:, :, 64:128], None, True, 50.0,
+        q_offset=jnp.int32(128), kv_offset=jnp.int32(64), return_lse=True,
+    )
+    assert bool(jnp.all(jnp.isfinite(lse)))
+    out2, lse2 = flash_attention(
+        q[:, :, 64:128], k[:, :, 128:192], v[:, :, 128:192], None, True, 50.0,
+        q_offset=jnp.int32(64), kv_offset=jnp.int32(128), return_lse=True,
+    )
+    assert bool(jnp.all(lse2 < -1e29))
+    np.testing.assert_allclose(np.asarray(out2), 0.0, atol=1e-6)

@@ -275,3 +275,45 @@ def test_initialize_distributed_single_process():
         assert "initialize" in str(e).lower() or "distributed" in str(e).lower()
         return
     assert (idx, cnt) == (0, 1)
+
+
+def test_train_steps_scan_matches_per_step_loop():
+    """Device-side scanned training (Trainer.train_steps) == the same
+    per-step loop with the same key-split sequence and batch cycling."""
+    model = tiny_model()
+
+    # two DIFFERENT-data batches with one packed structure (train_steps
+    # stacks them into a single device array)
+    def raw(seed):
+        rng = np.random.default_rng(seed)
+        return [
+            [
+                rng.integers(0, 8, 7).astype(np.int32),
+                (0, rng.standard_normal((3, 16)).astype(np.float32)),
+            ]
+            for _ in range(2)
+        ]
+
+    batch_a = model.pack(raw(4), shift_friendly=True)
+    batch_b = model.pack(raw(5), shift_friendly=True,
+                         pad_len=batch_a.text.shape[1])
+
+    t1 = Trainer(model)
+    s_scan = t1.init_state(jax.random.PRNGKey(0))
+    s_scan, m_scan = t1.train_steps(
+        s_scan, [batch_a, batch_b], jax.random.PRNGKey(9), steps=4
+    )
+
+    t2 = Trainer(model)
+    s_loop = t2.init_state(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(9)
+    batches = [batch_a, batch_b]
+    for i in range(4):
+        key, k = jax.random.split(key)
+        s_loop, m_loop = t2.train_step(s_loop, batches[i % 2], k)
+
+    np.testing.assert_allclose(
+        float(m_scan["loss"]), float(m_loop["loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(s_scan.params), jax.tree.leaves(s_loop.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

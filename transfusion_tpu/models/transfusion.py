@@ -217,23 +217,12 @@ class TransfusionCore(nn.Module):
 
     # -- joint packed forward ----------------------------------------------
 
-    def joint(
-        self,
-        packed: PackedBatch,
-        times,  # Float[b, m]
-        cache: Optional[dict] = None,
-        return_logits: bool = True,
-        deterministic: bool = True,
-    ):
-        """Forward the packed multimodal sequence.
-
-        packed.groups[*].latents must hold the *noised* latents (training)
-        or the current ODE state (sampling). Returns
-        (logits | None, embed, group_pred_flows, group_noised_rows, cache).
-        group_pred_flows[i]: Float[k, *latent_shape, d_latent] — predicted
-        flow in latent space (x-pred conversion applied in model space when
-        model_output_clean, reference :2611-2619).
-        """
+    def joint_embed_in(self, packed: PackedBatch):
+        """Embed text + scatter modality rows into the input sequence.
+        Returns (x, rotary_pos, group_rows). Exposed as its own apply-method
+        so the pipeline-parallel path can run the transformer trunk OUTSIDE
+        the flax scope (parallel/pipeline.py builds its own canonical block
+        modules, which flax forbids inside another module's method)."""
         text, spans = packed.text, packed.spans
         b, n = text.shape
 
@@ -257,6 +246,47 @@ class TransfusionCore(nn.Module):
             x = x.at[g.batch_idx[:, None], idx].set(in_rows.astype(x.dtype))
 
         rotary_pos = spans_to_rotary_positions(n, spans)
+        return x, rotary_pos, group_rows
+
+    def joint_out(
+        self, embed, packed: PackedBatch, times, group_rows,
+        return_logits: bool = True,
+    ):
+        """Project the trunk output: text logits + per-group predicted
+        flows (the second half of `joint`; see `joint_embed_in`)."""
+        logits = self.to_text_logits(embed) if return_logits else None
+
+        pred_flows = []
+        for g, noised_rows in zip(packed.groups, group_rows):
+            idx = g.offsets[:, None] + jnp.arange(g.seq_len)[None, :]
+            out_rows = embed[g.batch_idx[:, None], idx]  # [k, L, dim]
+            t_inst = times[g.batch_idx, g.span_rows]  # [k]
+            if self.model_output_clean:
+                out_rows = model_output_to_flow(
+                    out_rows, noised_rows, t_inst, self.eps
+                )
+            pred_flows.append(self.seq_to_latent(out_rows, g.modality_type, g.seq_shape))
+        return logits, pred_flows
+
+    def joint(
+        self,
+        packed: PackedBatch,
+        times,  # Float[b, m]
+        cache: Optional[dict] = None,
+        return_logits: bool = True,
+        deterministic: bool = True,
+    ):
+        """Forward the packed multimodal sequence.
+
+        packed.groups[*].latents must hold the *noised* latents (training)
+        or the current ODE state (sampling). Returns
+        (logits | None, embed, group_pred_flows, group_noised_rows, cache).
+        group_pred_flows[i]: Float[k, *latent_shape, d_latent] — predicted
+        flow in latent space (x-pred conversion applied in model space when
+        model_output_clean, reference :2611-2619).
+        """
+        x, rotary_pos, group_rows = self.joint_embed_in(packed)
+        spans = packed.spans
 
         embed, new_cache = self.transformer(
             x,
@@ -273,19 +303,9 @@ class TransfusionCore(nn.Module):
             deterministic=deterministic,
         )
 
-        logits = self.to_text_logits(embed) if return_logits else None
-
-        pred_flows = []
-        for g, noised_rows in zip(packed.groups, group_rows):
-            idx = g.offsets[:, None] + jnp.arange(g.seq_len)[None, :]
-            out_rows = embed[g.batch_idx[:, None], idx]  # [k, L, dim]
-            t_inst = times[g.batch_idx, g.span_rows]  # [k]
-            if self.model_output_clean:
-                out_rows = model_output_to_flow(
-                    out_rows, noised_rows, t_inst, self.eps
-                )
-            pred_flows.append(self.seq_to_latent(out_rows, g.modality_type, g.seq_shape))
-
+        logits, pred_flows = self.joint_out(
+            embed, packed, times, group_rows, return_logits
+        )
         return logits, embed, pred_flows, group_rows, new_cache
 
     # -- cached decode steps (sampling fast path) ---------------------------
@@ -741,9 +761,13 @@ class Transfusion:
     # ------------------------------------------------------------------
 
     def _joint_core(self, params, packed, times, rngs_noise, deterministic=True,
-                    return_logits=True):
+                    return_logits=True, pipeline=None):
         """Noise the packed groups and run the core. Returns
-        (logits, embed, pred_flows, noises, flows, noised_groups)."""
+        (logits, embed, pred_flows, noises, flows, noised_groups).
+
+        pipeline: None | (mesh, microbatches) — route the transformer trunk
+        through GPipe pipeline parallelism (parallel/pipeline.py) over the
+        mesh's 'pipe' axis; embeddings/projections/losses stay local."""
         noised_groups, noises, flows = [], [], []
         for gi, g in enumerate(packed.groups):
             noise = jax.random.normal(rngs_noise[gi], g.latents.shape)
@@ -754,14 +778,46 @@ class Transfusion:
             flows.append(flow)
 
         packed_n = packed.replace(groups=tuple(noised_groups))
-        logits, embed, pred_flows, _, _ = self.core.apply(
-            params,
-            packed_n,
-            times,
-            return_logits=return_logits,
-            deterministic=deterministic,
-            method="joint",
-        )
+        if pipeline is None:
+            logits, embed, pred_flows, _, _ = self.core.apply(
+                params,
+                packed_n,
+                times,
+                return_logits=return_logits,
+                deterministic=deterministic,
+                method="joint",
+            )
+        else:
+            # pipeline-parallel trunk: embed-in and out-projections run in
+            # the flax core; the transformer stack itself runs through the
+            # GPipe schedule OUTSIDE the flax scope (it builds canonical
+            # block modules, which flax forbids inside another module's
+            # method). Gradients flow through all three applies.
+            mesh, microbatches = pipeline
+            from transfusion_tpu.parallel.pipeline import (
+                pipeline_transformer_forward,
+            )
+
+            x, rotary_pos, group_rows = self.core.apply(
+                params, packed_n, method="joint_embed_in"
+            )
+            t_module = Transformer(
+                dim=self.dim, dtype=self.dtype, **self.transformer_cfg
+            )
+            embed = pipeline_transformer_forward(
+                params["params"]["transformer"],
+                t_module,
+                mesh,
+                microbatches,
+                x,
+                times_inst=times,
+                spans=packed_n.spans,
+                rotary_pos=rotary_pos,
+            )
+            logits, pred_flows = self.core.apply(
+                params, embed, packed_n, times, group_rows,
+                return_logits=return_logits, method="joint_out",
+            )
         return logits, embed, pred_flows, noises, flows, noised_groups
 
     def _chunked_ce(self, params, embed, labels, valid):
@@ -804,6 +860,8 @@ class Transfusion:
         prob_uncond: float,
         velocity_delta: float,
         train: bool,
+        pipeline=None,  # None | (mesh, microbatches): pipeline-parallel
+        # trunk (see _joint_core / Trainer(pipeline_microbatches=))
     ):
         T = self.num_modalities
         b, n_full = packed.text.shape
@@ -838,7 +896,7 @@ class Transfusion:
         noise_keys = jax.random.split(rng_noise, max(len(packed.groups), 1))
         logits, embed, pred_flows, noises, flows, noised_groups = self._joint_core(
             params, packed_in, times, noise_keys, deterministic=not train,
-            return_logits=not chunked,
+            return_logits=not chunked, pipeline=pipeline,
         )
 
         total_tokens = packed.total_tokens.astype(jnp.float32)
@@ -884,6 +942,7 @@ class Transfusion:
                 ema_keys,
                 deterministic=True,
                 return_logits=False,  # EMA pass only needs the flows
+                pipeline=pipeline,
             )
             ema_pred_flows = jax.lax.stop_gradient(ema_pred_flows)
 
@@ -965,6 +1024,11 @@ class Transfusion:
         return_breakdown: bool = False,
         train: bool = True,
         packed: Optional[PackedBatch] = None,
+        pipeline=None,  # None | (mesh, microbatches): run the transformer
+        # trunk pipeline-parallel over the mesh's 'pipe' axis (GPipe,
+        # parallel/pipeline.py). Requires unet_skips=False,
+        # num_residual_streams=1, dropout=0; Trainer(pipeline_microbatches=)
+        # is the managed entry point.
     ):
         """Joint multimodal training loss on a ragged batch (or PackedBatch).
 
@@ -987,7 +1051,9 @@ class Transfusion:
         fn = self._get_jit(
             "loss",
             functools.partial(self._loss_impl),
-            static_argnames=("prob_uncond", "velocity_delta", "train"),
+            static_argnames=(
+                "prob_uncond", "velocity_delta", "train", "pipeline"
+            ),
         )
         total, breakdown = fn(
             params,
@@ -998,6 +1064,7 @@ class Transfusion:
             prob_uncond=float(default(prob_uncond, self.prob_uncond)),
             velocity_delta=float(velocity_consistency_delta_time),
             train=train,
+            pipeline=pipeline,
         )
         if return_breakdown:
             return total, breakdown

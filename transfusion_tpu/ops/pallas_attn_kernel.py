@@ -41,6 +41,16 @@ BK = 512
 NEG_INF = -1e30
 
 
+def _sds(shape, dtype, like):
+    """ShapeDtypeStruct carrying `like`'s varying-manual-axes set: under
+    shard_map with check_vma (the context-parallel path) pallas_call
+    requires out_shape.vma to be explicit."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _span_allowed(spans_ref, b, rows, cols, allowed, *, use_spans, num_spans):
     """OR the per-span rectangles (rows >= off & cols < off+len) into
     `allowed`. THE single definition of the transfusion span mask inside
@@ -87,9 +97,13 @@ def _blk_visibility(spans_ref, b, q_start, q_end, k_start, bk, *, use_spans,
 
 def _kernel(
     spans_ref,  # i32[b, m, 3] scalar-prefetch (SMEM)
+    offs_ref,  # i32[2] scalar-prefetch: (q_offset, kv_offset) — GLOBAL
+    # sequence positions of q row 0 / kv col 0. Zero for ordinary calls;
+    # context parallelism passes the shard/chunk offsets so the mask is
+    # evaluated at global coordinates (parallel/context.py).
     q_ref,  # [1, 1, BQ, D]
-    k_ref,  # [1, 1, n, D]
-    v_ref,  # [1, 1, n, D]
+    k_ref,  # [1, 1, nkv, D]
+    v_ref,  # [1, 1, nkv, D]
     o_ref,  # [1, 1, BQ, D]
     lse_ref=None,  # [1, 1, 8, BQ] — logsumexp rows (8 duplicate sublanes:
     # a trailing singleton would pad to 128 lanes in HBM, 16x more memory)
@@ -98,32 +112,34 @@ def _kernel(
     softcap: float,
     num_spans: int,
     scale: float,
-    n: int,
+    nkv: int,
     bq: int,
     bk: int,
 ):
     b = pl.program_id(0)
     iq = pl.program_id(2)
+    q_off, kv_off = offs_ref[0], offs_ref[1]
 
-    q_start = iq * bq
+    q_start = iq * bq + q_off  # global row of this q block's first row
     q_end = q_start + bq - 1
 
     q = q_ref[0, 0] * jnp.asarray(scale, q_ref.dtype)  # [BQ, D] native dtype
 
     # --- KV loop upper bound: causal visibility + span rectangles ---
-    hi_tok = q_end  # last kv token visible causally
+    hi_tok = q_end  # last kv token visible causally (global)
     if use_spans:
         for s in range(num_spans):
             off = spans_ref[b, s, 1]
             ln = spans_ref[b, s, 2]
             touches = (ln > 0) & (q_end >= off)
             hi_tok = jnp.maximum(hi_tok, jnp.where(touches, off + ln - 1, 0))
-    hi_tok = jnp.minimum(hi_tok, n - 1)
-    hi = (hi_tok // bk) + 1  # number of kv blocks to visit
+    # translate to LOCAL kv block count ([0, nkv/bk]; 0 = nothing visible)
+    hi = jnp.clip((hi_tok - kv_off) // bk + 1, 0, nkv // bk)
 
     def body(ik, carry):
         m_prev, l_prev, acc = carry
-        k_start = ik * bk
+        k_start = ik * bk  # local slice index
+        k_glob = k_start + kv_off  # global column of the tile's first col
 
         k_blk = k_ref[0, 0, pl.ds(k_start, bk), :]
         s = jax.lax.dot_general(
@@ -138,13 +154,13 @@ def _kernel(
         # mask evaluation — span-interior tiles are the common case for
         # the transfusion workload
         _, blk_full = _blk_visibility(
-            spans_ref, b, q_start, q_end, k_start, bk,
+            spans_ref, b, q_start, q_end, k_glob, bk,
             use_spans=use_spans, num_spans=num_spans,
         )
 
         def masked(s):
             return _mask_tile(
-                s, spans_ref, b, q_start, k_start,
+                s, spans_ref, b, q_start, k_glob,
                 use_spans=use_spans, num_spans=num_spans, bq=bq, bk=bk,
             )
 
@@ -178,6 +194,7 @@ def _kernel(
 
 def _kernel_streamed(
     spans_ref,  # i32[b, m, 3] scalar-prefetch (SMEM)
+    offs_ref,  # i32[2] scalar-prefetch: (q_offset, kv_offset) global coords
     q_ref,  # [1, 1, BQ, D]
     k_ref,  # [1, 1, BK, D] — one KV block per grid step (auto-pipelined)
     v_ref,  # [1, 1, BK, D]
@@ -187,7 +204,7 @@ def _kernel_streamed(
     softcap: float,
     num_spans: int,
     scale: float,
-    n: int,
+    nkv: int,
     bq: int,
     bk: int,
     save_lse: bool,
@@ -206,9 +223,9 @@ def _kernel_streamed(
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
 
-    q_start = iq * bq
+    q_start = iq * bq + offs_ref[0]  # global
     q_end = q_start + bq - 1
-    k_start = ik * bk
+    k_start = ik * bk + offs_ref[1]  # global (block fetch is by grid index)
 
     @pl.when(ik == 0)
     def _init():
@@ -262,19 +279,23 @@ def _kernel_streamed(
             lse_ref[0, 0] = jnp.broadcast_to(lse_row, (8, lse_row.shape[1]))
 
 
-def _flash_fwd(q, k, v, spans, causal, softcap, save_lse: bool = False):
-    b, h, n, d = q.shape
+def _flash_fwd(q, k, v, spans, causal, softcap, save_lse: bool = False,
+               offs=None):
+    b, h, nq, d = q.shape
+    nkv = k.shape[2]
     use_spans = spans is not None
     assert use_spans or causal, "flash path requires causal and/or spans"
     if spans is None:
         spans = jnp.zeros((b, 1, 3), jnp.int32)
+    if offs is None:
+        offs = jnp.zeros((2,), jnp.int32)
     m = spans.shape[1]
     scale = d**-0.5
-    bq = _pick_block(n, (BQ, 128, 64, 32, 16, 8))
-    bk = _pick_block(n, (BK, 256, 128, 64, 32, 16, 8))
-    streamed = n * d > _MAX_N_TIMES_D_RESIDENT
+    bq = _pick_block(nq, (BQ, 128, 64, 32, 16, 8))
+    bk = _pick_block(nkv, (BK, 256, 128, 64, 32, 16, 8))
+    streamed = max(nq, nkv) * d > _MAX_N_TIMES_D_RESIDENT
 
-    out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    out_shape = _sds(q.shape, q.dtype, q)
     if streamed:
         kernel = functools.partial(
             _kernel_streamed,
@@ -282,7 +303,7 @@ def _flash_fwd(q, k, v, spans, causal, softcap, save_lse: bool = False):
             softcap=float(softcap),
             num_spans=m,
             scale=scale,
-            n=n,
+            nkv=nkv,
             bq=bq,
             bk=bk,
             save_lse=save_lse,
@@ -293,7 +314,7 @@ def _flash_fwd(q, k, v, spans, causal, softcap, save_lse: bool = False):
         if save_lse:
             out_shape = (
                 out_shape,
-                jax.ShapeDtypeStruct((b, h, 8, n), jnp.float32),
+                _sds((b, h, 8, nq), jnp.float32, q),
             )
             out_specs = (
                 out_specs,
@@ -302,8 +323,8 @@ def _flash_fwd(q, k, v, spans, causal, softcap, save_lse: bool = False):
                 ),
             )
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b, h, n // bq, n // bk),
+            num_scalar_prefetch=2,
+            grid=(b, h, nq // bq, nkv // bk),
             in_specs=[
                 pl.BlockSpec(
                     (1, 1, bq, d), lambda b, h, iq, ik, *_: (b, h, iq, 0)
@@ -329,7 +350,7 @@ def _flash_fwd(q, k, v, spans, causal, softcap, save_lse: bool = False):
             softcap=float(softcap),
             num_spans=m,
             scale=scale,
-            n=n,
+            nkv=nkv,
             bq=bq,
             bk=bk,
         )
@@ -339,7 +360,7 @@ def _flash_fwd(q, k, v, spans, causal, softcap, save_lse: bool = False):
         if save_lse:
             out_shape = (
                 out_shape,
-                jax.ShapeDtypeStruct((b, h, 8, n), jnp.float32),
+                _sds((b, h, 8, nq), jnp.float32, q),
             )
             out_specs = (
                 out_specs,
@@ -348,12 +369,12 @@ def _flash_fwd(q, k, v, spans, causal, softcap, save_lse: bool = False):
                 ),
             )
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b, h, n // bq),
+            num_scalar_prefetch=2,
+            grid=(b, h, nq // bq),
             in_specs=[
                 pl.BlockSpec((1, 1, bq, d), lambda b, h, iq, *_: (b, h, iq, 0)),
-                pl.BlockSpec((1, 1, n, d), lambda b, h, iq, *_: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, n, d), lambda b, h, iq, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, nkv, d), lambda b, h, iq, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, nkv, d), lambda b, h, iq, *_: (b, h, 0, 0)),
             ],
             out_specs=out_specs,
         )
@@ -373,7 +394,7 @@ def _flash_fwd(q, k, v, spans, causal, softcap, save_lse: bool = False):
         out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(dimension_semantics=semantics),
-    )(spans.astype(jnp.int32), q, k, v)
+    )(spans.astype(jnp.int32), offs.astype(jnp.int32), q, k, v)
 
 
 # ---------------------------------------------------------------------------
@@ -402,37 +423,39 @@ def _recompute_p(q_blk, k_blk, spans_ref, b, q_start, k_start, lse_blk,
 
 
 def _bwd_dkv_kernel(
-    spans_ref, q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+    spans_ref, offs_ref, q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
     dk_ref, dv_ref,
-    *, use_spans, softcap, num_spans, scale, n, bq, bk,
+    *, use_spans, softcap, num_spans, scale, nq, bq, bk,
 ):
     b = pl.program_id(0)
     ik = pl.program_id(2)
-    k_start = ik * bk
+    q_off, kv_off = offs_ref[0], offs_ref[1]
+    k_glob = ik * bk + kv_off  # global column of this kv block
 
-    # first q block that can see this kv block
-    lo_tok = k_start  # causal
+    # first GLOBAL q row that can see this kv block
+    lo_tok = k_glob  # causal
     if use_spans:
         for s in range(num_spans):
             off = spans_ref[b, s, 1]
             ln = spans_ref[b, s, 2]
-            overlaps = (ln > 0) & (k_start < off + ln) & (k_start + bk - 1 >= off)
+            overlaps = (ln > 0) & (k_glob < off + ln) & (k_glob + bk - 1 >= off)
             lo_tok = jnp.minimum(lo_tok, jnp.where(overlaps, off, lo_tok))
-    lo = lo_tok // bq
+    # translate to LOCAL q block index (clamped into [0, nq/bq])
+    lo = jnp.clip((lo_tok - q_off) // bq, 0, nq // bq)
 
     k_blk = k_ref[0, 0].astype(jnp.float32)  # [bk, d]
     v_blk = v_ref[0, 0].astype(jnp.float32)
 
     def body(iq, carry):
         dk, dv = carry
-        q_start = iq * bq
+        q_start = iq * bq  # local slice index
         q_blk = q_ref[0, 0, pl.ds(q_start, bq), :].astype(jnp.float32)
         do_blk = do_ref[0, 0, pl.ds(q_start, bq), :].astype(jnp.float32)
         lse_blk = lse_ref[0, 0, 0:1, pl.ds(q_start, bq)].T  # [bq, 1]
         delta_blk = delta_ref[0, 0, 0:1, pl.ds(q_start, bq)].T
 
         p, s_cap = _recompute_p(
-            q_blk, k_blk, spans_ref, b, q_start, k_start, lse_blk,
+            q_blk, k_blk, spans_ref, b, q_start + q_off, k_glob, lse_blk,
             scale=scale, softcap=softcap, use_spans=use_spans,
             num_spans=num_spans, bq=bq, bk=bk,
         )
@@ -456,19 +479,20 @@ def _bwd_dkv_kernel(
 
     d = q_ref.shape[-1]
     init = (jnp.zeros((bk, d), jnp.float32), jnp.zeros((bk, d), jnp.float32))
-    dk, dv = jax.lax.fori_loop(lo, n // bq, body, init)
+    dk, dv = jax.lax.fori_loop(lo, nq // bq, body, init)
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
 def _bwd_dq_kernel(
-    spans_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, q_ref,
+    spans_ref, offs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, q_ref,
     dq_ref,
-    *, use_spans, softcap, num_spans, scale, n, bq, bk,
+    *, use_spans, softcap, num_spans, scale, nkv, bq, bk,
 ):
     b = pl.program_id(0)
     iq = pl.program_id(2)
-    q_start = iq * bq
+    q_off, kv_off = offs_ref[0], offs_ref[1]
+    q_start = iq * bq + q_off  # global
     q_end = q_start + bq - 1
 
     hi_tok = q_end
@@ -478,8 +502,7 @@ def _bwd_dq_kernel(
             ln = spans_ref[b, s, 2]
             touches = (ln > 0) & (q_end >= off)
             hi_tok = jnp.maximum(hi_tok, jnp.where(touches, off + ln - 1, 0))
-    hi_tok = jnp.minimum(hi_tok, n - 1)
-    hi = (hi_tok // bk) + 1
+    hi = jnp.clip((hi_tok - kv_off) // bk + 1, 0, nkv // bk)
 
     q_blk = q_ref[0, 0].astype(jnp.float32)
     do_blk = do_ref[0, 0].astype(jnp.float32)
@@ -487,12 +510,12 @@ def _bwd_dq_kernel(
     delta_blk = delta_ref[0, 0, 0:1, :].T
 
     def body(ik, dq):
-        k_start = ik * bk
+        k_start = ik * bk  # local slice index
         k_blk = k_ref[0, 0, pl.ds(k_start, bk), :].astype(jnp.float32)
         v_blk = v_ref[0, 0, pl.ds(k_start, bk), :].astype(jnp.float32)
 
         p, s_cap = _recompute_p(
-            q_blk, k_blk, spans_ref, b, q_start, k_start, lse_blk,
+            q_blk, k_blk, spans_ref, b, q_start, k_start + kv_off, lse_blk,
             scale=scale, softcap=softcap, use_spans=use_spans,
             num_spans=num_spans, bq=bq, bk=bk,
         )
@@ -514,9 +537,9 @@ def _bwd_dq_kernel(
 
 
 def _bwd_dkv_kernel_streamed(
-    spans_ref, q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+    spans_ref, offs_ref, q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
     dk_ref, dv_ref, dk_scr, dv_scr,
-    *, use_spans, softcap, num_spans, scale, n, bq, bk,
+    *, use_spans, softcap, num_spans, scale, bq, bk,
 ):
     """Streamed dk/dv: grid (b, h, nk, nq). K/V block stays resident (index
     constant in the innermost dim); q/do/lse/delta blocks stream through the
@@ -526,8 +549,8 @@ def _bwd_dkv_kernel_streamed(
     ik = pl.program_id(2)
     iq = pl.program_id(3)
     nq = pl.num_programs(3)
-    k_start = ik * bk
-    q_start = iq * bq
+    k_start = ik * bk + offs_ref[1]  # global (fetch via grid index)
+    q_start = iq * bq + offs_ref[0]  # global
     q_end = q_start + bq - 1
 
     @pl.when(iq == 0)
@@ -577,9 +600,9 @@ def _bwd_dkv_kernel_streamed(
 
 
 def _bwd_dq_kernel_streamed(
-    spans_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, q_ref,
+    spans_ref, offs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, q_ref,
     dq_ref, dq_scr,
-    *, use_spans, softcap, num_spans, scale, n, bq, bk,
+    *, use_spans, softcap, num_spans, scale, bq, bk,
 ):
     """Streamed dq: grid (b, h, nq, nk). Q-side blocks resident, K/V blocks
     stream; dq accumulates in VMEM scratch."""
@@ -587,9 +610,9 @@ def _bwd_dq_kernel_streamed(
     iq = pl.program_id(2)
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
-    q_start = iq * bq
+    q_start = iq * bq + offs_ref[0]  # global
     q_end = q_start + bq - 1
-    k_start = ik * bk
+    k_start = ik * bk + offs_ref[1]  # global (fetch via grid index)
 
     @pl.when(ik == 0)
     def _init():
@@ -631,35 +654,43 @@ def _bwd_dq_kernel_streamed(
         dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
 
 
-def _flash_bwd_streamed(q, k, v, spans, o, lse, g, causal, softcap):
+def _flash_bwd_streamed(q, k, v, spans, o, lse, g, causal, softcap,
+                        offs=None, g_lse=None):
     """HBM-streamed FA2 backward for n*d beyond the resident kernels' VMEM
     envelope — O(block) VMEM, O(n) HBM; no dense fallback."""
-    b, h, n, d = q.shape
+    b, h, nq, d = q.shape
+    nkv = k.shape[2]
     use_spans = spans is not None
     if spans is None:
         spans = jnp.zeros((b, 1, 3), jnp.int32)
+    if offs is None:
+        offs = jnp.zeros((2,), jnp.int32)
     m = spans.shape[1]
     scale = d**-0.5
-    bq = _pick_block(n, (BQ, 128, 64, 32, 16, 8))
-    bk = _pick_block(n, (BK, 256, 128, 64, 32, 16, 8))
+    bq = _pick_block(nq, (BQ, 128, 64, 32, 16, 8))
+    bk = _pick_block(nkv, (BK, 256, 128, 64, 32, 16, 8))
 
     delta = jnp.sum(
         g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
     )
-    delta = jnp.broadcast_to(delta[:, :, None, :], (b, h, 8, n))
+    if g_lse is not None:
+        # lse cotangent folds into delta: ds = p*(dp - delta) + g_lse*p
+        #                                    = p*(dp - (delta - g_lse))
+        delta = delta - g_lse
+    delta = jnp.broadcast_to(delta[:, :, None, :], (b, h, 8, nq))
 
     interpret = jax.default_backend() == "cpu"
     common = dict(
         use_spans=use_spans, softcap=float(softcap), num_spans=m,
-        scale=scale, n=n, bq=bq, bk=bk,
+        scale=scale, bq=bq, bk=bk,
     )
     spec = pl.BlockSpec
 
     dkv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel_streamed, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b, h, n // bk, n // bq),
+            num_scalar_prefetch=2,
+            grid=(b, h, nkv // bk, nq // bq),
             in_specs=[
                 spec((1, 1, bq, d), lambda b, h, ik, iq, *_: (b, h, iq, 0)),  # q
                 spec((1, 1, bq, d), lambda b, h, ik, iq, *_: (b, h, iq, 0)),  # do
@@ -678,21 +709,23 @@ def _flash_bwd_streamed(q, k, v, spans, o, lse, g, causal, softcap):
             ],
         ),
         out_shape=(
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            _sds(k.shape, k.dtype, k),
+            _sds(v.shape, v.dtype, v),
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
         ),
     )
-    dk, dv = dkv(spans.astype(jnp.int32), q, g, lse, delta, k, v)
+    dk, dv = dkv(
+        spans.astype(jnp.int32), offs.astype(jnp.int32), q, g, lse, delta, k, v
+    )
 
     dq_call = pl.pallas_call(
         functools.partial(_bwd_dq_kernel_streamed, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b, h, n // bq, n // bk),
+            num_scalar_prefetch=2,
+            grid=(b, h, nq // bq, nkv // bk),
             in_specs=[
                 spec((1, 1, bk, d), lambda b, h, iq, ik, *_: (b, h, ik, 0)),  # k
                 spec((1, 1, bk, d), lambda b, h, iq, ik, *_: (b, h, ik, 0)),  # v
@@ -706,50 +739,59 @@ def _flash_bwd_streamed(q, k, v, spans, o, lse, g, causal, softcap):
             ),
             scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=_sds(q.shape, q.dtype, q),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
         ),
     )
-    dq = dq_call(spans.astype(jnp.int32), k, v, g, lse, delta, q)
+    dq = dq_call(
+        spans.astype(jnp.int32), offs.astype(jnp.int32), k, v, g, lse, delta, q
+    )
 
     return dq, dk, dv
 
 
-def _flash_bwd(q, k, v, spans, o, lse, g, causal, softcap):
-    b, h, n, d = q.shape
+def _flash_bwd(q, k, v, spans, o, lse, g, causal, softcap, offs=None,
+               g_lse=None):
+    b, h, nq, d = q.shape
+    nkv = k.shape[2]
     use_spans = spans is not None
     if spans is None:
         spans = jnp.zeros((b, 1, 3), jnp.int32)
+    if offs is None:
+        offs = jnp.zeros((2,), jnp.int32)
     m = spans.shape[1]
     scale = d**-0.5
-    bq = _pick_block(n, (BQ, 128, 64, 32, 16, 8))
-    bk = _pick_block(n, (BK, 256, 128, 64, 32, 16, 8))
+    bq = _pick_block(nq, (BQ, 128, 64, 32, 16, 8))
+    bk = _pick_block(nkv, (BK, 256, 128, 64, 32, 16, 8))
 
     delta = jnp.sum(
         g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
-    )  # [b, h, n]
-    delta = jnp.broadcast_to(delta[:, :, None, :], (b, h, 8, n))
+    )  # [b, h, nq]
+    if g_lse is not None:
+        # lse cotangent folds into delta: ds = p*(dp - (delta - g_lse))
+        delta = delta - g_lse
+    delta = jnp.broadcast_to(delta[:, :, None, :], (b, h, 8, nq))
 
     interpret = jax.default_backend() == "cpu"
     common = dict(
         use_spans=use_spans, softcap=float(softcap), num_spans=m,
-        scale=scale, n=n, bq=bq, bk=bk,
+        scale=scale, bq=bq, bk=bk,
     )
 
     spec_nd = lambda blk, idx: pl.BlockSpec(blk, idx)
 
     dkv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, **common),
+        functools.partial(_bwd_dkv_kernel, nq=nq, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b, h, n // bk),
+            num_scalar_prefetch=2,
+            grid=(b, h, nkv // bk),
             in_specs=[
-                spec_nd((1, 1, n, d), lambda b, h, ik, *_: (b, h, 0, 0)),  # q
-                spec_nd((1, 1, n, d), lambda b, h, ik, *_: (b, h, 0, 0)),  # do
-                spec_nd((1, 1, 8, n), lambda b, h, ik, *_: (b, h, 0, 0)),  # lse
-                spec_nd((1, 1, 8, n), lambda b, h, ik, *_: (b, h, 0, 0)),  # delta
+                spec_nd((1, 1, nq, d), lambda b, h, ik, *_: (b, h, 0, 0)),  # q
+                spec_nd((1, 1, nq, d), lambda b, h, ik, *_: (b, h, 0, 0)),  # do
+                spec_nd((1, 1, 8, nq), lambda b, h, ik, *_: (b, h, 0, 0)),  # lse
+                spec_nd((1, 1, 8, nq), lambda b, h, ik, *_: (b, h, 0, 0)),  # delta
                 spec_nd((1, 1, bk, d), lambda b, h, ik, *_: (b, h, ik, 0)),  # k
                 spec_nd((1, 1, bk, d), lambda b, h, ik, *_: (b, h, ik, 0)),  # v
             ],
@@ -759,24 +801,26 @@ def _flash_bwd(q, k, v, spans, o, lse, g, causal, softcap):
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            _sds(k.shape, k.dtype, k),
+            _sds(v.shape, v.dtype, v),
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel")
         ),
     )
-    dk, dv = dkv(spans.astype(jnp.int32), q, g, lse, delta, k, v)
+    dk, dv = dkv(
+        spans.astype(jnp.int32), offs.astype(jnp.int32), q, g, lse, delta, k, v
+    )
 
     dq_call = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, **common),
+        functools.partial(_bwd_dq_kernel, nkv=nkv, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b, h, n // bq),
+            num_scalar_prefetch=2,
+            grid=(b, h, nq // bq),
             in_specs=[
-                spec_nd((1, 1, n, d), lambda b, h, iq, *_: (b, h, 0, 0)),  # k
-                spec_nd((1, 1, n, d), lambda b, h, iq, *_: (b, h, 0, 0)),  # v
+                spec_nd((1, 1, nkv, d), lambda b, h, iq, *_: (b, h, 0, 0)),  # k
+                spec_nd((1, 1, nkv, d), lambda b, h, iq, *_: (b, h, 0, 0)),  # v
                 spec_nd((1, 1, bq, d), lambda b, h, iq, *_: (b, h, iq, 0)),  # do
                 spec_nd((1, 1, 8, bq), lambda b, h, iq, *_: (b, h, 0, iq)),  # lse
                 spec_nd((1, 1, 8, bq), lambda b, h, iq, *_: (b, h, 0, iq)),  # delta
@@ -784,39 +828,60 @@ def _flash_bwd(q, k, v, spans, o, lse, g, causal, softcap):
             ],
             out_specs=spec_nd((1, 1, bq, d), lambda b, h, iq, *_: (b, h, iq, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=_sds(q.shape, q.dtype, q),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel")
         ),
     )
-    dq = dq_call(spans.astype(jnp.int32), k, v, g, lse, delta, q)
+    dq = dq_call(
+        spans.astype(jnp.int32), offs.astype(jnp.int32), k, v, g, lse, delta, q
+    )
 
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _flash_attention_core(q, k, v, spans, causal=False, softcap=50.0):
-    return _flash_fwd(q, k, v, spans, causal, softcap)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_attention_core(q, k, v, spans, offs, causal=False, softcap=50.0,
+                          return_lse=False):
+    if return_lse:
+        return _flash_fwd(
+            q, k, v, spans, causal, softcap, save_lse=True, offs=offs
+        )
+    return _flash_fwd(q, k, v, spans, causal, softcap, offs=offs)
 
 
-def _fwd(q, k, v, spans, causal, softcap):
-    out, lse = _flash_fwd(q, k, v, spans, causal, softcap, save_lse=True)
-    return out, (q, k, v, spans, out, lse)
+def _fwd(q, k, v, spans, offs, causal, softcap, return_lse):
+    out, lse = _flash_fwd(
+        q, k, v, spans, causal, softcap, save_lse=True, offs=offs
+    )
+    primal = (out, lse) if return_lse else out
+    return primal, (q, k, v, spans, offs, out, lse)
 
 
-def _bwd(causal, softcap, res, g):
-    q, k, v, spans, o, lse = res
-    n, d = q.shape[2], q.shape[3]
-    if n * d > _MAX_N_TIMES_D_BWD:
+def _bwd(causal, softcap, return_lse, res, g):
+    q, k, v, spans, offs, o, lse = res
+    if return_lse:
+        g, g_lse_full = g  # cotangents for (out, lse[b,h,8,nq])
+        # the 8 sublanes are duplicates of one row — sum collapses whichever
+        # sublane(s) the caller actually used into the true row cotangent
+        g_lse = g_lse_full.sum(axis=2)
+    else:
+        g_lse = None
+    nq, d = q.shape[2], q.shape[3]
+    nkv = k.shape[2]
+    if max(nq, nkv) * d > _MAX_N_TIMES_D_BWD:
         # beyond the resident kernels' VMEM envelope: HBM-streamed backward
         # (O(block) VMEM — no dense fallback, no O(n^2) memory)
         dq, dk, dv = _flash_bwd_streamed(
-            q, k, v, spans, o, lse, g, causal, softcap
+            q, k, v, spans, o, lse, g, causal, softcap, offs=offs,
+            g_lse=g_lse,
         )
-        return dq, dk, dv, None
-    dq, dk, dv = _flash_bwd(q, k, v, spans, o, lse, g, causal, softcap)
-    return dq, dk, dv, None
+        return dq, dk, dv, None, None
+    dq, dk, dv = _flash_bwd(
+        q, k, v, spans, o, lse, g, causal, softcap, offs=offs, g_lse=g_lse
+    )
+    return dq, dk, dv, None, None
 
 
 _flash_attention_core.defvjp(_fwd, _bwd)
@@ -834,20 +899,54 @@ _flash_attention_core.defvjp(_fwd, _bwd)
 _SEQ_PAD = 128
 
 
-def flash_attention(q, k, v, spans=None, causal=False, softcap=50.0):
+def flash_attention(q, k, v, spans=None, causal=False, softcap=50.0,
+                    q_offset=None, kv_offset=None, return_lse=False):
     """Flash attention with the transfusion mask. q,k,v: [b, h, n, d];
     spans: Int[b, m, 3] | None. Shape-checked by the typechecked wrapper
-    `transfusion_flash_attention` (ops/pallas_attn.py) under TYPECHECK."""
+    `transfusion_flash_attention` (ops/pallas_attn.py) under TYPECHECK.
+
+    q_offset/kv_offset (i32 scalars, may be traced): GLOBAL sequence
+    positions of q row 0 / kv col 0 — context parallelism passes the
+    shard/chunk offsets so the causal|span mask is evaluated at global
+    coordinates while q and kv cover different slices (q and kv lengths may
+    differ). return_lse=True additionally returns per-row logsumexp
+    Float[b, h, nq] (differentiable — ring attention merges chunk partials
+    through it). The offset/lse path requires block-aligned lengths (no
+    internal padding): nq and nkv must be multiples of 8."""
     b, h, n, d = q.shape
-    n_pad = -(-n // _SEQ_PAD) * _SEQ_PAD
-    if n_pad == n:
-        return _flash_attention_core(q, k, v, spans, causal, softcap)
-    pad = ((0, 0), (0, 0), (0, n_pad - n), (0, 0))
-    out = _flash_attention_core(
-        jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad),
-        spans, causal, softcap,
+    nkv = k.shape[2]
+    cp_mode = (
+        q_offset is not None or kv_offset is not None or return_lse
+        or nkv != n
     )
-    return out[:, :, :n, :]
+    if not cp_mode:
+        offs = jnp.zeros((2,), jnp.int32)
+        n_pad = -(-n // _SEQ_PAD) * _SEQ_PAD
+        if n_pad == n:
+            return _flash_attention_core(q, k, v, spans, offs, causal, softcap)
+        pad = ((0, 0), (0, 0), (0, n_pad - n), (0, 0))
+        out = _flash_attention_core(
+            jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad),
+            spans, offs, causal, softcap,
+        )
+        return out[:, :, :n, :]
+
+    assert n % 8 == 0 and nkv % 8 == 0, (
+        f"offset/lse flash path needs block-aligned lengths, got q {n} / "
+        f"kv {nkv} (pad the shard/chunk to a multiple of 8)"
+    )
+    offs = jnp.stack(
+        [
+            jnp.asarray(0 if q_offset is None else q_offset, jnp.int32),
+            jnp.asarray(0 if kv_offset is None else kv_offset, jnp.int32),
+        ]
+    )
+    res = _flash_attention_core(q, k, v, spans, offs, causal, softcap,
+                                return_lse)
+    if return_lse:
+        out, lse8 = res
+        return out, lse8[:, :, 0, :]  # collapse the duplicated sublanes
+    return res
 
 # VMEM-resident K/V ceiling (with double buffering Mosaic needs ~4x n*d*4
 # bytes of scoped VMEM): beyond it the forward switches to the grid-streamed

@@ -114,6 +114,21 @@ def _online_block_update(state, q, k_chunk, v_chunk, spans, causal, softcap,
 NEG_INF_RING = -1e30
 
 
+def _kernel_eligible(nl, nkv, d, causal, spans):
+    """Route the per-shard compute through the Pallas flash kernel (global
+    q/kv offsets) when the workload fits its envelope; the dense jnp path
+    stays as the oracle/fallback. The kernel needs a structural mask
+    (causal|spans), a supported head dim, and block-aligned shard/chunk
+    lengths."""
+    import jax as _jax
+
+    if not (causal or spans is not None):
+        return False
+    if _jax.default_backend() not in ("tpu", "cpu"):
+        return False
+    return d in (32, 64, 128, 256) and nl % 8 == 0 and nkv % 8 == 0
+
+
 def _cp_specs(mesh: Mesh, axis: str, spans):
     """shard_map specs for q/k/v [b,h,n,d] + spans [b,m,3] on a mesh that may
     also carry 'data' (batch) and 'tensor' (heads) axes. Axes of size 1 are
@@ -145,17 +160,99 @@ def ring_attention(
         idx = jax.lax.axis_index(axis)
         b, h, nl, d = q_loc.shape
         row_off = idx * nl
+        use_kernel = _kernel_eligible(nl, nl, d, causal, spans_loc)
 
         perm = [(i, (i + 1) % size) for i in range(size)]
+
+        def chunk_need(src, col_off):
+            """Chunk-level visibility summary: False when nothing in
+            [row_off, row_off+nl) can see [col_off, col_off+nl) — for
+            causal attention chip idx only needs chunks src <= idx (~2x
+            FLOP cut), plus any span rectangle that spills into a later
+            chunk. Causal visibility is part of the transfusion mask
+            whenever ANY structural mask exists (_global_allowed seeds
+            `allowed` with rows >= cols for spans too). The ppermute still
+            runs either way (the rotation carries the chunk onward); exact
+            parity: a fully-masked chunk's contribution is wiped by the
+            online-softmax rescale anyway."""
+            need = src <= idx
+            if spans_loc is not None:
+                offs = spans_loc[..., 1]
+                lens = spans_loc[..., 2]
+                need = need | (
+                    (lens > 0)
+                    & (row_off + nl - 1 >= offs)
+                    & (col_off < offs + lens)
+                ).any()
+            return need
+
+        if use_kernel:
+            # Pallas flash kernel per chunk (global offsets, lse returned);
+            # partials merge via the standard log-sum-exp combination:
+            #   out = sum_i out_i e^{lse_i - m} / sum_i e^{lse_i - m}
+            from transfusion_tpu.ops.pallas_attn_kernel import flash_attention
+
+            def step(i, carry):
+                (m_prev, r, acc), k_c, v_c = carry
+                src = (idx - i) % size
+                col_off = src * nl
+
+                def update(state):
+                    m_prev, r, acc = state
+                    out_i, lse_i = flash_attention(
+                        q_loc, k_c, v_c, spans_loc, causal=causal,
+                        softcap=softcap, q_offset=row_off,
+                        kv_offset=col_off, return_lse=True,
+                    )
+                    m_new = jnp.maximum(m_prev, lse_i)
+                    alpha = jnp.exp(m_prev - m_new)
+                    w = jnp.exp(lse_i - m_new)
+                    acc = acc * alpha[..., None] + (
+                        out_i.astype(jnp.float32) * w[..., None]
+                    )
+                    return m_new, r * alpha + w, acc
+
+                state = jax.lax.cond(
+                    chunk_need(src, col_off), update, lambda s: s,
+                    (m_prev, r, acc),
+                )
+                k_c = jax.lax.ppermute(k_c, axis, perm)
+                v_c = jax.lax.ppermute(v_c, axis, perm)
+                return state, k_c, v_c
+
+            init = (
+                jnp.full((b, h, nl), NEG_INF_RING, jnp.float32),
+                jnp.zeros((b, h, nl), jnp.float32),
+                jnp.zeros((b, h, nl, d), jnp.float32),
+            )
+            # check_vma=False on the enclosing shard_map (the Pallas
+            # kernel takes device-varying offset scalars, which the vma
+            # checker rejects) — no pcast needed
+            (m, r, acc), _, _ = jax.lax.fori_loop(
+                0, size, step, (init, k_loc, v_loc)
+            )
+            return (acc / jnp.maximum(r, 1e-30)[..., None]).astype(
+                q_loc.dtype
+            )
 
         def step(i, carry):
             state, k_c, v_c = carry
             # chunk currently held came from shard (idx - i) mod size
             src = (idx - i) % size
-            state = _online_block_update(
-                state, q_loc, k_c, v_c, spans_loc, causal, softcap,
-                row_off, src * nl,
-            )
+            col_off = src * nl
+
+            def update(s):
+                return _online_block_update(
+                    s, q_loc, k_c, v_c, spans_loc, causal, softcap,
+                    row_off, col_off,
+                )
+
+            if causal or spans_loc is not None:
+                state = jax.lax.cond(
+                    chunk_need(src, col_off), update, lambda s: s, state
+                )
+            else:
+                state = update(state)  # full attention: every chunk counts
             k_c = jax.lax.ppermute(k_c, axis, perm)
             v_c = jax.lax.ppermute(v_c, axis, perm)
             return state, k_c, v_c
@@ -165,13 +262,8 @@ def ring_attention(
             jnp.zeros((b, h, nl, 1), jnp.float32),
             jnp.zeros((b, h, nl, d), jnp.float32),
         )
-        # the accumulators become device-varying after the first update;
-        # mark the (constant) init values as varying too so the fori_loop
-        # carry types match under shard_map's axis tracking (over every
-        # mesh axis the q/k/v shards vary on, not just the ring axis)
-        init = jax.tree.map(
-            lambda x: jax.lax.pcast(x, vary_axes, to="varying"), init
-        )
+        # (check_vma=False on the enclosing shard_map — no vma tracking,
+        # so the constant init needs no pcast)
         (m, l, acc), _, _ = jax.lax.fori_loop(
             0, size, step, (init, k_loc, v_loc)
         )
@@ -187,6 +279,9 @@ def ring_attention(
         mesh=mesh,
         in_specs=(seq_spec, seq_spec, seq_spec, span_spec),
         out_specs=seq_spec,
+        # the Pallas chunk kernel consumes device-varying offset scalars
+        # (axis_index-derived), which the vma checker cannot express
+        check_vma=False,
     )(q, k, v, spans)
 
 
@@ -204,10 +299,22 @@ def context_parallel_attention(
     def body(q_loc, k_loc, v_loc, spans_loc):
         size = jax.lax.axis_size(axis)
         idx = jax.lax.axis_index(axis)
-        nl = q_loc.shape[2]
+        b, h, nl, d = q_loc.shape
 
         k_full = jax.lax.all_gather(k_loc, axis, axis=2, tiled=True)
         v_full = jax.lax.all_gather(v_loc, axis, axis=2, tiled=True)
+
+        if _kernel_eligible(nl, nl * size, d, causal, spans_loc):
+            # local q slice against the gathered KV through the Pallas
+            # flash kernel — q_offset places the slice's rows at their
+            # global positions so the in-kernel mask (and its block
+            # skipping) is exact
+            from transfusion_tpu.ops.pallas_attn_kernel import flash_attention
+
+            return flash_attention(
+                q_loc, k_full, v_full, spans_loc, causal=causal,
+                softcap=softcap, q_offset=idx * nl,
+            )
 
         return _offset_attention(
             q_loc, k_full, v_full, spans_loc, causal, softcap, idx * nl
@@ -222,5 +329,6 @@ def context_parallel_attention(
         mesh=mesh,
         in_specs=(seq_spec, seq_spec, seq_spec, span_spec),
         out_specs=seq_spec,
+        check_vma=False,  # see ring_attention: varying offsets into Pallas
     )
     return shmap(q, k, v, spans)

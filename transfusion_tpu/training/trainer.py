@@ -46,12 +46,21 @@ class Trainer:
         profile_logdir: Optional[str] = None,
         profile_start_step: int = 10,
         profile_num_steps: int = 3,
+        pipeline_microbatches: Optional[int] = None,  # route the joint loss
+        # through GPipe pipeline parallelism over the mesh's 'pipe' axis
+        # (parallel/pipeline.py). Needs mesh with pipe>1 and a PP-compatible
+        # transformer config (unet_skips=False, num_residual_streams=1,
+        # dropout=0, depth % pipe == 0); pick microbatches >= 2*pipe to keep
+        # the bubble fraction (pipe-1)/(microbatches+pipe-1) small.
     ):
         self.model = model
         self.mesh = mesh
         self.velocity_consistency = velocity_consistency
         self.velocity_delta = velocity_consistency_delta_time
         self.checkpoint_dir = checkpoint_dir
+        self.pipeline_microbatches = pipeline_microbatches
+        if pipeline_microbatches is not None:
+            self._validate_pipeline_config()
 
         tx = optimizer or optax.adam(learning_rate)
         if grad_clip_norm is not None:
@@ -77,6 +86,35 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    def _validate_pipeline_config(self):
+        """Fail fast with actionable messages instead of deep shard_map
+        errors (constraints documented in parallel/pipeline.py)."""
+        assert self.mesh is not None and "pipe" in self.mesh.axis_names, (
+            "pipeline_microbatches needs a mesh with a 'pipe' axis — "
+            "make_mesh(pipe=N)"
+        )
+        pipe = self.mesh.shape["pipe"]
+        assert pipe > 1, "pipeline_microbatches set but mesh pipe axis is 1"
+        cfg = self.model.transformer_cfg
+        assert cfg.get("unet_skips", True) is False, (
+            "pipeline parallelism requires transformer unet_skips=False "
+            "(cross-stage U-Net skips cannot be pipelined)"
+        )
+        assert cfg.get("num_residual_streams", 1) == 1, (
+            "pipeline parallelism requires num_residual_streams=1"
+        )
+        assert cfg.get("dropout", 0.0) == 0.0, (
+            "pipeline parallelism requires dropout=0"
+        )
+        depth = cfg["depth"]
+        assert depth % pipe == 0, (
+            f"transformer depth {depth} must divide over pipe={pipe} stages"
+        )
+        assert self.pipeline_microbatches >= pipe, (
+            f"pick microbatches >= pipe ({pipe}); >= 2*pipe recommended "
+            "(bubble fraction (pipe-1)/(microbatches+pipe-1))"
+        )
+
     def init_state(self, rng) -> TrainState:
         params = self.model.init_params(rng)
         if self.mesh is not None:
@@ -97,6 +135,12 @@ class Trainer:
         use_velocity = self.velocity_consistency
         delta = self.velocity_delta
 
+        pipeline = (
+            (self.mesh, self.pipeline_microbatches)
+            if self.pipeline_microbatches is not None
+            else None
+        )
+
         def step_fn(state: TrainState, packed, rng):
             def loss_fn(params):
                 total, breakdown = model._loss_impl(
@@ -108,6 +152,7 @@ class Trainer:
                     prob_uncond=model.prob_uncond,
                     velocity_delta=delta,
                     train=True,
+                    pipeline=pipeline,
                 )
                 return total, breakdown
 
@@ -164,6 +209,56 @@ class Trainer:
                 int(state.step), metrics, tokens=int(packed.total_tokens)
             )
         return state, metrics
+
+    def train_steps(self, state: TrainState, batches, rng, steps: int):
+        """Device-side training loop: `steps` optimizer steps in ONE jitted
+        lax.scan dispatch, cycling through `batches` (a list of PackedBatch
+        with identical shapes, or one PackedBatch reused every step).
+
+        On a remote/tunneled TPU every dispatch pays RTT; fusing the loop
+        amortizes it (measured +3-4% over per-step dispatch even after
+        device-resident inputs, scripts/probe_r3_bench.py). Use for steady
+        -state training; per-step `train_step` remains the introspectable
+        path (metrics each step, profiler hooks).
+        Returns (state, last_step_metrics)."""
+        import functools
+
+        if not isinstance(batches, (list, tuple)):
+            batches = [batches]
+        trees = [jax.tree.map(jnp.asarray, b) for b in batches]
+        if len({jax.tree.structure(t) for t in trees}) > 1:
+            raise ValueError(
+                "train_steps batches must share one packed structure (same "
+                "padded length and same modality group shapes) so they can "
+                "stack into one device array — pack with a fixed pad_len "
+                "and shape-bucketed modalities, or use train_step per batch"
+            )
+        packed_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+        if self.mesh is not None:
+            packed_stack = jax.tree.map(jnp.asarray, packed_stack)
+
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
+        step_fn = self._step_fn
+        n_b = len(batches)
+
+        @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+        def scan_steps(state, packed_stack, rng, steps):
+            def body(carry, i):
+                st, ky = carry
+                ky, k = jax.random.split(ky)
+                packed = jax.tree.map(
+                    lambda x: x[i % n_b], packed_stack
+                )
+                st, m = step_fn(st, packed, k)
+                return (st, ky), m
+
+            (state, _), ms = jax.lax.scan(
+                body, (state, rng), jnp.arange(steps)
+            )
+            return state, jax.tree.map(lambda x: x[-1], ms)
+
+        return scan_steps(state, packed_stack, rng, steps)
 
     # ------------------------------------------------------------------
     # checkpointing (orbax)
