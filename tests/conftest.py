@@ -21,6 +21,32 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent XLA compile cache for the CPU test backend: the container has a
+# single core, so the 40-min suite wall time is almost entirely serial
+# compilation — cached entries make repeat runs (and identical HLO compiled
+# by different test modules within one run) near-free. The dir is keyed by a
+# host-CPU fingerprint: CPU cache entries embed AOT machine code whose cache
+# key ignores host features, and loading another machine's entry risks
+# SIGILL (the r2 intermittent 'Fatal Python error'; see
+# transfusion_tpu/__init__.py for the evidence trail).
+import hashlib  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _feat = "".join(
+            ln for ln in _f if ln.startswith(("flags", "model name"))
+        )
+except OSError:
+    _feat = ""
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser(
+        "~/.cache/transfusion_tpu/jax-cpu-tests/"
+        + hashlib.md5(_feat.encode()).hexdigest()[:10]
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 # build the native fastpack extension once per session if it's absent, so
 # the C++-vs-numpy parity test (test_packing.py) actually runs in CI
 # instead of skipping

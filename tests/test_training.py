@@ -317,3 +317,37 @@ def test_train_steps_scan_matches_per_step_loop():
     )
     for a, b in zip(jax.tree.leaves(s_scan.params), jax.tree.leaves(s_loop.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_train_steps_accepts_raw_ragged_batch():
+    """train_steps on a RAW ragged batch (the list-of-samples form
+    train_step and the dataloader produce) packs it once and matches the
+    equivalent per-step loop — it must not misread the sample list as a
+    list of packed batches (r3 regression)."""
+    model = tiny_model()
+    rng = np.random.default_rng(11)
+    raw = [
+        [
+            rng.integers(0, 8, 7).astype(np.int32),
+            (0, rng.standard_normal((3, 16)).astype(np.float32)),
+        ]
+        for _ in range(2)
+    ]
+
+    t1 = Trainer(model)
+    s_scan = t1.init_state(jax.random.PRNGKey(0))
+    s_scan, m_scan = t1.train_steps(
+        s_scan, raw, jax.random.PRNGKey(9), steps=3
+    )
+
+    t2 = Trainer(model)
+    s_loop = t2.init_state(jax.random.PRNGKey(0))
+    packed = model.pack(raw, shift_friendly=True)
+    key = jax.random.PRNGKey(9)
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        s_loop, m_loop = t2.train_step(s_loop, packed, k)
+
+    np.testing.assert_allclose(
+        float(m_scan["loss"]), float(m_loop["loss"]), rtol=1e-5
+    )

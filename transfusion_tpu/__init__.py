@@ -18,9 +18,34 @@ if _os.environ.get("TRANSFUSION_JAX_CACHE", "1") != "0":
         "TRANSFUSION_JAX_CACHE_DIR",
         _os.path.expanduser("~/.cache/transfusion_tpu/jax"),
     )
+    # CPU-backend entries embed XLA:CPU AOT machine code whose cache key
+    # does NOT include host CPU features — an entry written on one machine
+    # loads on another with a "could lead to execution errors such as
+    # SIGILL" warning (observed: 18 cross-host AOT loads with mismatched
+    # +prefer-no-scatter/+amx-* feature sets). Segregate CPU caches per
+    # host fingerprint so machine code never crosses machines; TPU
+    # executables are compiled by the (remote) TPU compiler and are not
+    # host-machine-code, so they keep the shared dir.
+    if "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
+        import hashlib as _hashlib
+        import platform as _platform
+
+        try:
+            with open("/proc/cpuinfo") as _f:
+                _feat = "".join(
+                    ln for ln in _f if ln.startswith(("flags", "model name"))
+                )
+        except OSError:  # pragma: no cover - non-linux
+            _feat = _platform.processor()
+        _fp = _hashlib.md5(_feat.encode()).hexdigest()[:10]
+        _cache_dir = _os.path.join(_cache_dir + "-cpu", _fp)
     try:
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # respect a cache dir configured before import (e.g. tests/conftest)
+        if _jax.config.jax_compilation_cache_dir is None:
+            _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
     except Exception:  # pragma: no cover - older jax without the flags
         pass
 

@@ -73,6 +73,7 @@ class Trainer:
             update_after_step=ema_update_after_step,
         )
         self._step_fn = None
+        self._scan_fns = {}
         self._ckpt_mgr = None
 
         from transfusion_tpu.training.metrics import MetricsLogger, ProfilerHook
@@ -220,11 +221,24 @@ class Trainer:
         device-resident inputs, scripts/probe_r3_bench.py). Use for steady
         -state training; per-step `train_step` remains the introspectable
         path (metrics each step, profiler hooks).
+        Also accepts a single raw ragged batch (list of ModalitySamples,
+        the same form `train_step` takes) — it is packed once and reused
+        every step. To cycle distinct ragged batches, pack each with
+        `model.pack` first so their padded shapes match.
         Returns (state, last_step_metrics)."""
         import functools
 
+        from transfusion_tpu.data.packing import PackedBatch
+
         if not isinstance(batches, (list, tuple)):
             batches = [batches]
+        elif batches and not any(
+            isinstance(b, PackedBatch) for b in batches
+        ):
+            # a raw ragged batch (list of per-sample modality lists), the
+            # form train_step accepts: pack it as ONE batch, not N batches
+            encoded = self.model.encode_modalities(list(batches))
+            batches = [self.model.pack(encoded, shift_friendly=True)]
         trees = [jax.tree.map(jnp.asarray, b) for b in batches]
         if len({jax.tree.structure(t) for t in trees}) > 1:
             raise ValueError(
@@ -242,21 +256,31 @@ class Trainer:
         step_fn = self._step_fn
         n_b = len(batches)
 
-        @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
-        def scan_steps(state, packed_stack, rng, steps):
-            def body(carry, i):
-                st, ky = carry
-                ky, k = jax.random.split(ky)
-                packed = jax.tree.map(
-                    lambda x: x[i % n_b], packed_stack
-                )
-                st, m = step_fn(st, packed, k)
-                return (st, ky), m
+        # cache the jitted scan per batch-cycle length: a fresh closure per
+        # call would retrace on every train_steps invocation (bench runs one
+        # call per measurement window)
+        scan_steps = self._scan_fns.get(n_b)
+        if scan_steps is None:
 
-            (state, _), ms = jax.lax.scan(
-                body, (state, rng), jnp.arange(steps)
+            @functools.partial(
+                jax.jit, static_argnums=(3,), donate_argnums=(0,)
             )
-            return state, jax.tree.map(lambda x: x[-1], ms)
+            def scan_steps(state, packed_stack, rng, steps):
+                def body(carry, i):
+                    st, ky = carry
+                    ky, k = jax.random.split(ky)
+                    packed = jax.tree.map(
+                        lambda x: x[i % n_b], packed_stack
+                    )
+                    st, m = step_fn(st, packed, k)
+                    return (st, ky), m
+
+                (state, _), ms = jax.lax.scan(
+                    body, (state, rng), jnp.arange(steps)
+                )
+                return state, jax.tree.map(lambda x: x[-1], ms)
+
+            self._scan_fns[n_b] = scan_steps
 
         return scan_steps(state, packed_stack, rng, steps)
 
