@@ -1,0 +1,140 @@
+"""1F1B pipeline schedule through the model API: the joint Transfusion
+loss computed in-schedule (models/pipeline_loss.py) must match the
+unpipelined `_loss_impl` — values, breakdown, and gradients — and a
+Trainer(pipeline_schedule='1f1b') run must track single-device training.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transfusion_tpu.models.transfusion import Transfusion
+from transfusion_tpu.parallel.mesh import make_mesh
+from transfusion_tpu.training.trainer import Trainer
+
+PIPE = 4
+
+
+def small_model(**kw):
+    return Transfusion(
+        num_text_tokens=32,
+        transformer=dict(
+            dim=32, depth=4, dim_head=16, heads=2,
+            unet_skips=False, num_residual_streams=1, dropout=0.0,
+            attn_impl="dense",
+        ),
+        modality_default_shape=(4,),
+        dim_latent=8,
+        prob_uncond=0.1,
+        **kw,
+    )
+
+
+def ragged_batch(m, b=8, seed=0):
+    rng = np.random.default_rng(seed)
+    batch = []
+    for _ in range(b):
+        batch.append(
+            [
+                list(rng.integers(0, 32, size=6)),
+                (0, np.asarray(rng.normal(size=(4, 8)), np.float32)),
+            ]
+        )
+    return m.pack(
+        m.encode_modalities(batch),
+        wrap_sos_eos=True, add_meta=True, shift_friendly=True,
+    )
+
+
+@pytest.mark.parametrize("velocity", [False, True])
+def test_1f1b_joint_loss_and_grads_match_dense(velocity):
+    m = small_model(
+        reconstruction_loss_weight=0.1 if velocity else 0.0,
+    )
+    params = m.init_params(jax.random.PRNGKey(0))
+    ema_params = (
+        m.init_params(jax.random.PRNGKey(7)) if velocity else None
+    )
+    packed = jax.tree.map(jnp.asarray, ragged_batch(m))
+    key = jax.random.PRNGKey(42)
+    mesh = make_mesh(pipe=PIPE)
+
+    def run(params, pipeline):
+        return m._loss_impl(
+            params, packed, key, None, ema_params,
+            prob_uncond=0.1, velocity_delta=1e-3, train=True,
+            pipeline=pipeline,
+        )
+
+    (t0, bd0), g0 = jax.value_and_grad(
+        lambda p: run(p, None), has_aux=True
+    )(params)
+    (t1, bd1), g1 = jax.value_and_grad(
+        lambda p: run(p, (mesh, 4, "1f1b")), has_aux=True
+    )(params)
+
+    np.testing.assert_allclose(float(t0), float(t1), rtol=2e-5)
+    np.testing.assert_allclose(float(bd0.text), float(bd1.text), rtol=2e-5)
+    for a, b in zip(bd0.flow, bd1.flow):
+        np.testing.assert_allclose(float(a), float(b), rtol=2e-5)
+    if velocity:
+        for a, b in zip(bd0.velocity, bd1.velocity):
+            np.testing.assert_allclose(float(a), float(b), rtol=2e-5)
+        for a, b in zip(bd0.recon, bd1.recon):
+            np.testing.assert_allclose(float(a), float(b), rtol=2e-5)
+
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_leaves_with_path(g1)
+    }
+    assert len(flat0) == len(flat1)
+    for k, v in flat0:
+        ks = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat1[ks]),
+            rtol=5e-4, atol=1e-5, err_msg=ks,
+        )
+
+
+def test_1f1b_trainer_matches_single_device():
+    """3 optimizer steps through Trainer(pipeline_schedule='1f1b') track
+    the unpipelined Trainer step-for-step."""
+    import optax
+
+    mesh = make_mesh(pipe=PIPE)
+
+    def make(trainer_kw):
+        m = small_model()
+        tr = Trainer(
+            m,
+            optimizer=optax.sgd(1e-2),
+            grad_clip_norm=None,
+            **trainer_kw,
+        )
+        state = tr.init_state(jax.random.PRNGKey(0))
+        return m, tr, state
+
+    m0, tr0, st0 = make({})
+    m1, tr1, st1 = make(
+        dict(mesh=mesh, pipeline_microbatches=8, pipeline_schedule="1f1b")
+    )
+
+    losses0, losses1 = [], []
+    for i in range(3):
+        packed = ragged_batch(m0, seed=i)
+        rng = jax.random.PRNGKey(100 + i)
+        st0, metrics0 = tr0.train_step(st0, packed, rng)
+        st1, metrics1 = tr1.train_step(st1, packed, rng)
+        losses0.append(float(metrics0["loss"]))
+        losses1.append(float(metrics1["loss"]))
+
+    np.testing.assert_allclose(losses0, losses1, rtol=1e-4)
+    # params track too
+    for a, b in zip(
+        jax.tree.leaves(st0.params), jax.tree.leaves(st1.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5
+        )

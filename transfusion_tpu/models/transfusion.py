@@ -894,6 +894,25 @@ class Transfusion:
 
         chunked = self.ce_chunk_size is not None
         noise_keys = jax.random.split(rng_noise, max(len(packed.groups), 1))
+
+        if pipeline is not None and len(pipeline) == 3:
+            mesh_pp, mb_pp, schedule = pipeline
+            if schedule == "1f1b":
+                # in-schedule loss + O(pipe) activation memory
+                # (models/pipeline_loss.py + parallel/pipeline_1f1b.py)
+                from transfusion_tpu.models.pipeline_loss import (
+                    joint_loss_1f1b,
+                )
+
+                return joint_loss_1f1b(
+                    self, params, packed, packed_in, labels,
+                    times, orig_times, noise_keys, rng_noise_ema,
+                    ema_params, velocity_delta,
+                    mesh=mesh_pp, microbatches=mb_pp,
+                )
+            assert schedule == "gpipe", f"unknown pipeline schedule {schedule}"
+            pipeline = (mesh_pp, mb_pp)
+
         logits, embed, pred_flows, noises, flows, noised_groups = self._joint_core(
             params, packed_in, times, noise_keys, deterministic=not train,
             return_logits=not chunked, pipeline=pipeline,
@@ -1024,11 +1043,13 @@ class Transfusion:
         return_breakdown: bool = False,
         train: bool = True,
         packed: Optional[PackedBatch] = None,
-        pipeline=None,  # None | (mesh, microbatches): run the transformer
-        # trunk pipeline-parallel over the mesh's 'pipe' axis (GPipe,
-        # parallel/pipeline.py). Requires unet_skips=False,
-        # num_residual_streams=1, dropout=0; Trainer(pipeline_microbatches=)
-        # is the managed entry point.
+        pipeline=None,  # None | (mesh, microbatches) | (mesh, microbatches,
+        # 'gpipe'|'1f1b'): run the joint loss pipeline-parallel over the
+        # mesh's 'pipe' axis — GPipe trunk (parallel/pipeline.py) or the
+        # 1F1B in-schedule loss (models/pipeline_loss.py). Requires
+        # unet_skips=False, num_residual_streams=1, dropout=0;
+        # Trainer(pipeline_microbatches=, pipeline_schedule=) is the
+        # managed entry point.
     ):
         """Joint multimodal training loss on a ragged batch (or PackedBatch).
 

@@ -347,35 +347,27 @@ def _dense(params: dict, x, dtype=None):
     return y
 
 
-def pipeline_transformer_forward(
+def prepare_trunk_inputs(
     transformer_params: dict,
-    transformer,  # Transformer module (static config; unet_skips=False,
-    # num_residual_streams=1, dropout=0 — asserted)
-    mesh: Mesh,
-    microbatches: int,
-    x,  # Float[b, n, dim]
+    transformer,
+    x,  # Float[b, n, dim] (shape source only)
     times=None,  # None | Float[b] | Float[b, n]
     times_inst=None,  # None | Float[b, m] (requires spans)
     spans=None,  # Int[b, m, 3] | None
     causal: bool = False,
     is_any_modality=None,
     rotary_pos=None,  # Int[n] | Int[b, n] | None
-    stacked_params=None,  # pass a pre-stacked tree to avoid re-stacking
-    remat=None,  # None = inherit transformer.remat (+ remat_policy)
 ):
-    """`Transformer.__call__`-equivalent forward, pipelined over 'pipe'.
-
-    Covers the training paths (joint packed / text-only causal); KV-cache
-    decoding stays unpipelined (single-token steps have no microbatch
-    dimension to fill the pipeline with).
-    """
+    """Compute the replicated per-batch trunk inputs a pipelined schedule
+    needs outside the flax scope: time conditioning, masks (dense or flash
+    spans per `transformer.attn_impl`), rope angles, modality flags.
+    Mirrors `Transformer.__call__`'s prologue (transformer.py:310-368);
+    shared by the GPipe (`pipeline_transformer_forward`) and 1F1B
+    (models/pipeline_loss.py) paths. Returns a dict with keys
+    cond / cond_index / mask / rope / is_any_modality / flash_spans /
+    flash_causal."""
     t = transformer
-    assert t.unet_skips is False, "pipeline requires unet_skips=False"
-    assert t.num_residual_streams == 1
-    assert t.dropout == 0.0
-    if remat is None:
-        remat = t.remat  # honor the model's own remat config
-    b, n, dim = x.shape
+    b, n, _ = x.shape
 
     # --- time conditioning (replicated — cheap) — transformer.py:310-348 ---
     from transfusion_tpu.models.layers import random_fourier_embed
@@ -441,6 +433,60 @@ def pipeline_transformer_forward(
         rope = rope_angles(rotary_pos, t.dim_head, t.rope_theta)
         if rope.ndim == 2:
             rope = jnp.broadcast_to(rope[None], (b, *rope.shape))
+
+    return dict(
+        cond=cond,
+        cond_index=cond_index,
+        mask=mask,
+        rope=rope,
+        is_any_modality=is_any_modality,
+        flash_spans=flash_spans,
+        flash_causal=flash_causal,
+    )
+
+
+def pipeline_transformer_forward(
+    transformer_params: dict,
+    transformer,  # Transformer module (static config; unet_skips=False,
+    # num_residual_streams=1, dropout=0 — asserted)
+    mesh: Mesh,
+    microbatches: int,
+    x,  # Float[b, n, dim]
+    times=None,  # None | Float[b] | Float[b, n]
+    times_inst=None,  # None | Float[b, m] (requires spans)
+    spans=None,  # Int[b, m, 3] | None
+    causal: bool = False,
+    is_any_modality=None,
+    rotary_pos=None,  # Int[n] | Int[b, n] | None
+    stacked_params=None,  # pass a pre-stacked tree to avoid re-stacking
+    remat=None,  # None = inherit transformer.remat (+ remat_policy)
+):
+    """`Transformer.__call__`-equivalent forward, pipelined over 'pipe'.
+
+    Covers the training paths (joint packed / text-only causal); KV-cache
+    decoding stays unpipelined (single-token steps have no microbatch
+    dimension to fill the pipeline with).
+    """
+    t = transformer
+    assert t.unet_skips is False, "pipeline requires unet_skips=False"
+    assert t.num_residual_streams == 1
+    assert t.dropout == 0.0
+    if remat is None:
+        remat = t.remat  # honor the model's own remat config
+    b, n, dim = x.shape
+
+    prep = prepare_trunk_inputs(
+        transformer_params, t, x,
+        times=times, times_inst=times_inst, spans=spans, causal=causal,
+        is_any_modality=is_any_modality, rotary_pos=rotary_pos,
+    )
+    cond = prep["cond"]
+    cond_index = prep["cond_index"]
+    mask = prep["mask"]
+    rope = prep["rope"]
+    is_any_modality = prep["is_any_modality"]
+    flash_spans = prep["flash_spans"]
+    flash_causal = prep["flash_causal"]
 
     if stacked_params is None:
         stacked_params = stack_block_params(transformer_params, t.depth)

@@ -392,21 +392,21 @@ def pipeline_1f1b_grads(
 
     in_specs = (
         P("pipe"),  # stacked (prefix spec for the whole tree)
-        P(None),  # x_mb
-        P(None),  # cond
-        P(None),  # head_params
-        P(None),  # head_data
-        *[P(None) for _ in nd_arrays],
+        P(),  # x_mb (P() = fully replicated at any rank, incl. scalars)
+        P(),  # cond
+        P(),  # head_params
+        P(),  # head_data
+        *[P() for _ in nd_arrays],
     )
     out_specs = [
         P(),  # loss
         P(),  # aux (prefix)
         P("pipe"),  # dstacked
-        P(None),  # dx
+        P(),  # dx
     ]
     if has_cond:
-        out_specs.append(P(None))  # dcond
-    out_specs.append(P(None))  # dhead
+        out_specs.append(P())  # dcond
+    out_specs.append(P())  # dhead
     out_specs = tuple(out_specs)
 
     res = shard_map(

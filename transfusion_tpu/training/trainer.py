@@ -47,11 +47,15 @@ class Trainer:
         profile_start_step: int = 10,
         profile_num_steps: int = 3,
         pipeline_microbatches: Optional[int] = None,  # route the joint loss
-        # through GPipe pipeline parallelism over the mesh's 'pipe' axis
+        # through pipeline parallelism over the mesh's 'pipe' axis
         # (parallel/pipeline.py). Needs mesh with pipe>1 and a PP-compatible
         # transformer config (unet_skips=False, num_residual_streams=1,
         # dropout=0, depth % pipe == 0); pick microbatches >= 2*pipe to keep
         # the bubble fraction (pipe-1)/(microbatches+pipe-1) small.
+        pipeline_schedule: str = "gpipe",  # 'gpipe' (autodiff through the
+        # schedule, composes with data/fsdp/tp axes) | '1f1b' (in-schedule
+        # loss + backward, O(pipe) activation memory — parallel/
+        # pipeline_1f1b.py; requires a pipe-only mesh)
     ):
         self.model = model
         self.mesh = mesh
@@ -59,6 +63,7 @@ class Trainer:
         self.velocity_delta = velocity_consistency_delta_time
         self.checkpoint_dir = checkpoint_dir
         self.pipeline_microbatches = pipeline_microbatches
+        self.pipeline_schedule = pipeline_schedule
         if pipeline_microbatches is not None:
             self._validate_pipeline_config()
 
@@ -115,6 +120,20 @@ class Trainer:
             f"pick microbatches >= pipe ({pipe}); >= 2*pipe recommended "
             "(bubble fraction (pipe-1)/(microbatches+pipe-1))"
         )
+        assert self.pipeline_schedule in ("gpipe", "1f1b"), (
+            f"unknown pipeline_schedule {self.pipeline_schedule!r}"
+        )
+        if self.pipeline_schedule == "1f1b":
+            bad = [
+                f"{ax}={sz}"
+                for ax, sz in self.mesh.shape.items()
+                if ax != "pipe" and sz > 1
+            ]
+            assert not bad, (
+                "the 1F1B schedule pipelines over 'pipe' only — other mesh "
+                f"axes must be size 1 (got {', '.join(bad)}); use "
+                "pipeline_schedule='gpipe' for data x pipe meshes"
+            )
 
     def init_state(self, rng) -> TrainState:
         params = self.model.init_params(rng)
@@ -136,11 +155,11 @@ class Trainer:
         use_velocity = self.velocity_consistency
         delta = self.velocity_delta
 
-        pipeline = (
-            (self.mesh, self.pipeline_microbatches)
-            if self.pipeline_microbatches is not None
-            else None
-        )
+        pipeline = None
+        if self.pipeline_microbatches is not None:
+            pipeline = (
+                self.mesh, self.pipeline_microbatches, self.pipeline_schedule
+            )
 
         def step_fn(state: TrainState, packed, rng):
             def loss_fn(params):
