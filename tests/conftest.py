@@ -32,9 +32,18 @@ jax.config.update("jax_platforms", "cpu")
 import hashlib  # noqa: E402
 
 try:
+    # include model/stepping/microcode too: virtualized hosts share the
+    # generic model-name string + flags across CPU generations while LLVM
+    # tunes by model/stepping (prefer-no-gather etc.) — see
+    # transfusion_tpu/__init__.py
     with open("/proc/cpuinfo") as _f:
         _feat = "".join(
-            ln for ln in _f if ln.startswith(("flags", "model name"))
+            ln
+            for ln in _f
+            if ln.startswith(
+                ("flags", "model", "stepping", "microcode",
+                 "vendor_id", "cpu family")
+            )
         )
 except OSError:
     _feat = ""

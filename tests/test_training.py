@@ -142,6 +142,31 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(w0), np.asarray(w1))
 
 
+def test_checkpoint_async_save(tmp_path):
+    """save(wait=False) returns before the write is durable; after the
+    explicit join the checkpoint restores bit-identically even if the live
+    state was mutated (donated) in the meantime."""
+    model = tiny_model()
+    trainer = Trainer(model, checkpoint_dir=str(tmp_path / "ckpt"))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state, _ = trainer.train_step(state, tiny_batch(), jax.random.PRNGKey(1))
+    w_saved = np.asarray(jax.tree.leaves(state.params)[0]).copy()
+
+    trainer.save(state, wait=False)
+    # mutate the live state while the background write is (possibly) still
+    # in flight — the snapshot must not see this
+    state, _ = trainer.train_step(state, tiny_batch(), jax.random.PRNGKey(2))
+    trainer.wait_until_finished()
+
+    template = trainer.init_state(jax.random.PRNGKey(42))
+    restored = trainer.restore(template)
+    assert restored is not None
+    assert int(restored.step) == 1
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored.params)[0]), w_saved
+    )
+
+
 def test_mesh_sharded_train_step():
     """DP x FSDP x TP on the 8-device CPU mesh — full train step."""
     mesh = make_mesh(data=2, fsdp=2, tensor=2)

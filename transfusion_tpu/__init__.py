@@ -31,9 +31,20 @@ if _os.environ.get("TRANSFUSION_JAX_CACHE", "1") != "0":
         import platform as _platform
 
         try:
+            # flags + model name alone are NOT enough: virtualized hosts
+            # report the generic "Intel(R) Xeon(R) Processor @ 2.10GHz"
+            # with identical flags across CPU generations, while LLVM tunes
+            # codegen by model/stepping (e.g. +prefer-no-gather per the SPR
+            # gather erratum) — observed as a cross-round AOT-load warning
+            # from inside a fingerprinted dir. Include every identity line.
             with open("/proc/cpuinfo") as _f:
                 _feat = "".join(
-                    ln for ln in _f if ln.startswith(("flags", "model name"))
+                    ln
+                    for ln in _f
+                    if ln.startswith(
+                        ("flags", "model", "stepping", "microcode",
+                         "vendor_id", "cpu family")
+                    )
                 )
         except OSError:  # pragma: no cover - non-linux
             _feat = _platform.processor()

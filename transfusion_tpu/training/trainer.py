@@ -318,14 +318,29 @@ class Trainer:
             )
         return self._ckpt_mgr
 
-    def save(self, state: TrainState):
+    def save(self, state: TrainState, wait: bool = True):
+        """Checkpoint `state` at its current step.
+
+        wait=False makes the on-disk write asynchronous (orbax's background
+        checkpointer): the device->host snapshot is taken synchronously
+        before returning, so training may mutate/donate `state` immediately,
+        while serialization and fsync proceed off-thread. Join explicitly
+        with `wait_until_finished()`; a subsequent `save` also joins the
+        previous write first (orbax serializes saves per manager).
+        """
         import orbax.checkpoint as ocp
 
         mgr = self._manager()
         mgr.save(
             int(state.step), args=ocp.args.StandardSave(jax.device_get(state))
         )
-        mgr.wait_until_finished()
+        if wait:
+            mgr.wait_until_finished()
+
+    def wait_until_finished(self):
+        """Block until any in-flight async `save(wait=False)` is durable."""
+        if self._ckpt_mgr is not None:
+            self._ckpt_mgr.wait_until_finished()
 
     def restore(self, state_template: TrainState, step: Optional[int] = None):
         import orbax.checkpoint as ocp
