@@ -43,6 +43,9 @@ def main():
                    help="orbax checkpoint dir to restore params from")
     p.add_argument("--multimodal", action="store_true",
                    help="also run one cached multimodal sample()")
+    p.add_argument("--engine", action="store_true",
+                   help="demo the continuous-batching ServingEngine: more "
+                        "requests than slots, admission + early retirement")
     p.add_argument("--ragged", action="store_true",
                    help="demo ragged batching: requests with different "
                         "history lengths decode together")
@@ -119,6 +122,33 @@ def main():
         print(
             f"ragged batch (histories {lens}): {args.tokens} tok/request "
             f"in {dt:.2f} s (cold incl. compile)"
+        )
+
+    if args.engine:
+        # continuous batching: a slot pool with admission/retirement — short
+        # requests retire early and queued ones take their slots
+        # (models/engine.py; --batch slots, 2x --batch requests)
+        from transfusion_tpu.models.engine import ServingEngine
+
+        n_req = args.batch * 2
+        lens = [max(1, args.history // (i % args.batch + 1))
+                for i in range(n_req)]
+        budgets = [args.tokens // (2 if i % 2 else 1) for i in range(n_req)]
+        eng = ServingEngine(
+            model, params, max_batch=args.batch,
+            max_seq_len=args.history + args.tokens, decode_chunk=16,
+            kv_quantize=args.kv_quantize or None,
+        )
+        for l, b in zip(lens, budgets):
+            eng.submit(rng.integers(0, 256, l).astype(np.int32), b)
+        t0 = time.perf_counter()
+        done = eng.run()
+        dt = time.perf_counter() - t0
+        got = sum(len(r.tokens) for r in done)
+        print(
+            f"engine ({n_req} req over {args.batch} slots, histories "
+            f"{lens}, budgets {budgets}): {got} tok in {dt:.2f} s "
+            f"(cold incl. compile; {eng.stats['decode_chunks']} chunks)"
         )
 
     if args.multimodal:

@@ -1,0 +1,107 @@
+"""Continuous batching vs static batching: useful tokens/sec on a mixed
+workload.
+
+Static batching (`generate_text_batch`) decodes every request in the pool
+for the LONGEST budget in that pool — short requests burn slots on garbage
+tokens. The engine retires rows the moment they finish and admits queued
+requests into the freed slots, so useful throughput should approach the
+pool's decode rate regardless of budget skew.
+
+Workload: 16 requests, histories 64-512, budgets 16-192 (skewed), pool of
+8 slots.
+
+Run (real TPU): python scripts/probe_engine.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from transfusion_tpu.models.engine import ServingEngine
+    from transfusion_tpu.models.transfusion import Transfusion
+
+    print("devices:", jax.devices())
+    model = Transfusion(
+        num_text_tokens=256,
+        dim_latent=32,
+        modality_default_shape=(14, 14),
+        transformer=dict(dim=384, depth=8, dim_head=64, heads=8,
+                         attn_impl="flash"),
+        pad_multiple=64,
+        dtype=jnp.bfloat16,
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+
+    n_req, pool = 16, 8
+    hists = rng.integers(64, 512, n_req)
+    budgets = np.concatenate(
+        [rng.integers(16, 48, n_req - 4), rng.integers(128, 192, 4)]
+    )
+    rng.shuffle(budgets)
+    prompts = [
+        rng.integers(0, 256, h).astype(np.int32) for h in hists
+    ]
+    useful = int(budgets.sum())
+    print(f"{n_req} requests, budgets {sorted(budgets.tolist())}, "
+          f"useful tokens {useful}")
+
+    # --- static batching: pools of 8, everyone decodes max(budget) --------
+    def run_static():
+        out_toks = 0
+        for i in range(0, n_req, pool):
+            grp = slice(i, i + pool)
+            mx = int(budgets[grp].max())
+            toks = model.generate_text_batch(
+                params, prompts[grp], max_new_tokens=mx,
+                rng=jax.random.PRNGKey(1), temperature=0.0,
+            )
+            float(jnp.sum(toks))  # force
+            out_toks += int(budgets[grp].sum())  # useful only
+        return out_toks
+
+    run_static()  # compile
+    t0 = time.perf_counter()
+    got = run_static()
+    dt_static = time.perf_counter() - t0
+    print(f"static: {got} useful tok in {dt_static:.2f}s "
+          f"({got/dt_static:.1f} useful tok/s)")
+
+    # --- engine ------------------------------------------------------------
+    def make_engine():
+        return ServingEngine(
+            model, params, max_batch=pool, max_seq_len=1024,
+            decode_chunk=16, temperature=0.0,
+        )
+
+    eng = make_engine()
+    for p, b in zip(prompts, budgets):
+        eng.submit(p, int(b))
+    eng.run()  # compile pass (jits are per-engine instance)
+
+    eng2 = make_engine()
+    # jitted fns close over the engine instance — share the compiled ones
+    eng2._admit_fns, eng2._decode_fn = eng._admit_fns, eng._decode_fn
+    for p, b in zip(prompts, budgets):
+        eng2.submit(p, int(b))
+    t0 = time.perf_counter()
+    done = eng2.run()
+    dt_eng = time.perf_counter() - t0
+    got = sum(len(r.tokens) for r in done)
+    print(f"engine: {got} useful tok in {dt_eng:.2f}s "
+          f"({got/dt_eng:.1f} useful tok/s)  "
+          f"[{eng2.stats['decode_chunks']} chunks, "
+          f"decode {eng2.stats['decode_time_s']:.2f}s]")
+    print(f"speedup: {dt_static/dt_eng:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Continuous-batching serving engine (models/engine.py).
+
+Greedy parity: a request served through the slot pool — admitted mid-flight
+next to other requests, decoded in chunks, retired on budget — must produce
+exactly the tokens its prompt gets from a solo `generate_text_only` run.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from transfusion_tpu.models.engine import ServingEngine, _width_bucket
+from transfusion_tpu.models.transfusion import Transfusion
+
+
+def make_model(attn_impl="dense", **kw):
+    return Transfusion(
+        num_text_tokens=8,
+        dim_latent=16,
+        modality_default_shape=(4,),
+        transformer=dict(dim=32, depth=2, dim_head=32, heads=2,
+                         attn_impl=attn_impl),
+        pad_multiple=16,
+        **kw,
+    )
+
+
+def solo_greedy(model, params, prompt, n_new):
+    import jax.numpy as jnp
+
+    out = model.generate_text_only(
+        params, jnp.asarray(prompt)[None], seq_len=len(prompt) + n_new,
+        rng=jax.random.PRNGKey(5), temperature=0.0,
+    )
+    return np.asarray(out)[0].tolist()
+
+
+def test_width_bucket():
+    assert _width_bucket(1) == 128
+    assert _width_bucket(128) == 128
+    assert _width_bucket(129) == 256
+    assert _width_bucket(257) == 512
+    assert _width_bucket(512) == 512
+
+
+@pytest.mark.parametrize("attn_impl", ["dense", "flash"])
+def test_engine_matches_solo_greedy(attn_impl):
+    """5 ragged requests through a 2-slot pool == their solo greedy runs.
+
+    With max_batch=2 the later requests are admitted only as earlier ones
+    retire, so this exercises slot reuse on a dirty cache row too."""
+    model = make_model(attn_impl)
+    params = model.init_params(jax.random.PRNGKey(0))
+    prompts = [
+        [model.sos_id, 1, 2],
+        [model.sos_id, 3, 4, 5, 6, 7],
+        [model.sos_id, 2],
+        [model.sos_id, 7, 1],
+        [model.sos_id, 5, 5, 5],
+    ]
+    n_new = 6
+    eng = ServingEngine(
+        model, params, max_batch=2, max_seq_len=64, decode_chunk=4,
+        temperature=0.0,
+    )
+    done = eng.run([np.asarray(p, np.int32) for p in prompts], n_new)
+    assert len(done) == len(prompts)
+    assert eng.stats["admitted"] == len(prompts)
+    assert eng.stats["generated_tokens"] == len(prompts) * n_new
+    by_rid = {r.rid: r for r in done}
+    for rid, p in enumerate(prompts):
+        want = solo_greedy(model, params, p, n_new)
+        assert by_rid[rid].tokens == want, f"request {rid} (len {len(p)})"
+
+
+def test_engine_early_finish_frees_slot():
+    """A short-budget request retires early and its slot is reused while
+    the long request keeps decoding — the long row must be unaffected."""
+    model = make_model("dense")
+    params = model.init_params(jax.random.PRNGKey(0))
+    long_p = [model.sos_id, 3, 4, 5, 6, 7]
+    shorts = [[model.sos_id, 1], [model.sos_id, 2], [model.sos_id, 4]]
+
+    eng = ServingEngine(
+        model, params, max_batch=2, max_seq_len=64, decode_chunk=2,
+        temperature=0.0,
+    )
+    rid_long = eng.submit(np.asarray(long_p, np.int32), 10)
+    for s in shorts:
+        eng.submit(np.asarray(s, np.int32), 2)
+    done = eng.run()
+    by_rid = {r.rid: r for r in done}
+    assert by_rid[rid_long].tokens == solo_greedy(model, params, long_p, 10)
+    for i, s in enumerate(shorts):
+        assert by_rid[i + 1].tokens == solo_greedy(model, params, s, 2)
+
+
+def test_engine_eos_stops_early():
+    model = make_model("dense")
+    params = model.init_params(jax.random.PRNGKey(0))
+    prompt = [model.sos_id, 1, 2]
+    # pick the first greedily generated token as the "eos" so the request
+    # must finish after exactly one token despite a 10-token budget
+    eos = solo_greedy(model, params, prompt, 1)[0]
+    eng = ServingEngine(
+        model, params, max_batch=2, max_seq_len=64, decode_chunk=4,
+        temperature=0.0, eos_id=eos,
+    )
+    done = eng.run([np.asarray(prompt, np.int32)], 10)
+    assert len(done) == 1
+    assert done[0].tokens == [eos]
+    assert not eng.has_work
+
+
+def test_engine_int8_smoke():
+    model = make_model("flash")
+    params = model.init_params(jax.random.PRNGKey(0))
+    eng = ServingEngine(
+        model, params, max_batch=2, max_seq_len=64, decode_chunk=4,
+        kv_quantize=True,
+    )
+    done = eng.run([np.asarray([model.sos_id, 1], np.int32),
+                    np.asarray([model.sos_id, 2, 3], np.int32)], 4)
+    assert len(done) == 2
+    for r in done:
+        assert len(r.tokens) == 4
+        assert all(0 <= t < model.num_text_tokens for t in r.tokens)
+
+
+def test_engine_capacity_guard():
+    model = make_model("dense")
+    params = model.init_params(jax.random.PRNGKey(0))
+    eng = ServingEngine(model, params, max_batch=1, max_seq_len=64)
+    with pytest.raises(AssertionError, match="capacity"):
+        eng.submit(np.ones(100, np.int32), 100)

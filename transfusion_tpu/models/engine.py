@@ -1,0 +1,301 @@
+"""Continuous-batching text-serving engine.
+
+Slot-based serving on top of the ragged decode machinery: a fixed pool of
+`max_batch` cache rows, requests admitted into free slots as they arrive
+and retired the moment they finish — short requests never wait for the
+longest row in their batch, which is the throughput gap between static
+batching (`generate_text_batch`: everyone decodes `max_new_tokens`
+together) and a production serving loop.
+
+Design (TPU-first):
+- One persistent KV cache of `max_batch` rows (layout/quantization chosen
+  by the measured serving auto-policy, models/serving.py). Per-row write
+  offsets (`idx: Int[b]`) let every slot live at its own history length.
+- **Admission** prefills the new request into a fresh single-row cache via
+  the flash-kernel prefill path, then scatters that row (K/V, scales,
+  validity mask, idx, last logits) into the pool at the free slot — one
+  jitted dispatch per admission, one trace per power-of-two width bucket.
+- **Decode** runs all slots together in chunks of `decode_chunk` tokens
+  (one jitted lax.scan dispatch per chunk; single trace). Inactive slots
+  still compute (SPMD — no dynamic shapes) but their cache index is pinned
+  and their fresh slots are marked invalid, so they are bit-inert; their
+  sampled tokens are discarded host-side.
+- The host loop between chunks admits/retires; a request's tokens past its
+  budget or EOS are truncated host-side and its slot freed for the queue.
+
+Greedy decode (temperature=0) reproduces `generate_text_only` rows
+token-for-token (tested). With temperature > 0 the engine uses one rng
+stream across the pool, so samples differ from a solo run of the same
+prompt (same guarantee as any batched sampler).
+
+The torch reference has no serving stack at all (its generate_text_only
+re-forwards the full prefix per token, reference transfusion.py:2015-2038).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections import deque
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _width_bucket(n: int) -> int:
+    """Next power-of-two multiple of 128 (same policy as
+    generate_text_batch / the uncached sample() loop: O(log max_len)
+    prefill traces, not one per prompt length)."""
+    chunks = -(-max(n, 1) // 128)
+    return 128 * (1 << (chunks - 1).bit_length())
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt: np.ndarray  # 1-D int32
+    max_new_tokens: int
+    tokens: list = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class ServingEngine:
+    def __init__(
+        self,
+        model,
+        params,
+        *,
+        max_batch: int,
+        max_seq_len: int,
+        decode_chunk: int = 8,
+        temperature: float = 0.0,
+        min_p: float = 0.0,
+        kv_quantize: Optional[bool] = None,  # None = measured auto-policy
+        eos_id: Optional[int] = None,
+        rng=None,
+    ):
+        from transfusion_tpu.models.transformer import make_kv_cache
+
+        self.model = model
+        self.params = params
+        self.max_batch = int(max_batch)
+        self.decode_chunk = int(decode_chunk)
+        self.temperature = float(temperature)
+        self.min_p = float(min_p)
+        self.eos_id = eos_id
+
+        self.cap = -(-int(max_seq_len) // 128) * 128
+        quantize, transposed = model._resolve_serving_plan(
+            self.cap, self.max_batch, kv_quantize
+        )
+        cfg = model.transformer_cfg
+        cache = make_kv_cache(
+            cfg["depth"], self.max_batch, cfg.get("heads", 8), self.cap,
+            cfg.get("dim_head", 64), dtype=model.dtype, track_mask=True,
+            quantize="int8" if quantize else None, transposed=transposed,
+        )
+        # per-row offsets from the start; every slot lives at its own length
+        cache["idx"] = jnp.zeros((self.max_batch,), jnp.int32)
+        cache["mask"] = jnp.zeros((self.max_batch, self.cap), bool)
+        self.cache = cache
+        self.last_logits = jnp.zeros(
+            (self.max_batch, model.vocab_size), jnp.float32
+        )
+
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.queue: deque = deque()
+        self.slots: list = [None] * self.max_batch
+        self.active = np.zeros(self.max_batch, bool)
+        self._next_rid = 0
+        self._admit_fns = {}
+        self._decode_fn = None
+        self.stats = {"generated_tokens": 0, "decode_chunks": 0,
+                      "admitted": 0, "decode_time_s": 0.0}
+
+    # ------------------------------------------------------------------
+    # jitted device functions
+    # ------------------------------------------------------------------
+
+    def _kv_keys(self):
+        return [
+            k for k in ("k", "v", "kT", "vT", "k_scale", "v_scale")
+            if k in self.cache
+        ]
+
+    def _admit_fn(self, width: int):
+        fn = self._admit_fns.get(width)
+        if fn is not None:
+            return fn
+        model, kv_keys, cap = self.model, self._kv_keys(), self.cap
+
+        def admit(params, cache, last_logits, prompt, length, slot):
+            # fresh single-row cache, prefilled via the flash prefill path
+            side = {
+                k: jnp.zeros(
+                    cache[k][:, :1].shape, cache[k].dtype
+                )
+                for k in kv_keys
+            }
+            side["mask"] = jnp.arange(cap)[None, :] < length
+            side["idx"] = jnp.zeros((), jnp.int32)
+            logits, side = model.core.apply(
+                params, prompt, side, method="text_forward", prefill=True
+            )
+            last = logits[0, length - 1].astype(jnp.float32)
+
+            # scatter the row into the pool at `slot`
+            for k in kv_keys:
+                cache[k] = jax.lax.dynamic_update_slice_in_dim(
+                    cache[k], side[k], slot, axis=1
+                )
+            cache = dict(cache)
+            cache["mask"] = jax.lax.dynamic_update_slice_in_dim(
+                cache["mask"], side["mask"], slot, axis=0
+            )
+            cache["idx"] = (
+                cache["idx"].at[slot].set(length.astype(jnp.int32))
+            )
+            last_logits = last_logits.at[slot].set(last)
+            return cache, last_logits
+
+        fn = jax.jit(admit, donate_argnums=(1, 2))
+        self._admit_fns[width] = fn
+        return fn
+
+    def _decode(self):
+        if self._decode_fn is not None:
+            return self._decode_fn
+        from transfusion_tpu.models.transformer import cache_mark_valid
+
+        model = self.model
+        temperature, min_p = self.temperature, self.min_p
+
+        def decode(params, cache, last_logits, active, rng, k):
+            def step(carry, _):
+                cache, last, rng = carry
+                rng, key = jax.random.split(rng)
+                tok = model._sample_text_tok(key, last, temperature, min_p)
+                old_idx = cache["idx"]
+                # inactive slots: fresh positions stay invalid + idx pinned,
+                # so their (still-executed) compute is bit-inert
+                cache = cache_mark_valid(cache, active[:, None])
+                logits, cache = model.core.apply(
+                    params, tok[:, None], cache, old_idx[:, None],
+                    method="text_forward",
+                )
+                cache = {
+                    **cache,
+                    "idx": jnp.where(active, cache["idx"], old_idx),
+                }
+                last = jnp.where(
+                    active[:, None], logits[:, -1].astype(jnp.float32), last
+                )
+                return (cache, last, rng), tok
+
+            (cache, last, rng), toks = jax.lax.scan(
+                step, (cache, last_logits, rng), None, length=k
+            )
+            return cache, last, toks.T  # [B, k]
+
+        self._decode_fn = jax.jit(
+            decode, static_argnums=(5,), donate_argnums=(1, 2)
+        )
+        return self._decode_fn
+
+    # ------------------------------------------------------------------
+    # host loop
+    # ------------------------------------------------------------------
+
+    def submit(self, prompt, max_new_tokens: int) -> int:
+        prompt = np.asarray(prompt, np.int32).reshape(-1)
+        assert prompt.size >= 1, (
+            "every prompt needs >= 1 token (seed with a BOS/sos token)"
+        )
+        assert prompt.size + max_new_tokens <= self.cap, (
+            f"prompt ({prompt.size}) + max_new_tokens ({max_new_tokens}) "
+            f"exceeds engine capacity {self.cap} — raise max_seq_len"
+        )
+        rid = self._next_rid
+        self._next_rid += 1
+        self.queue.append(Request(rid, prompt, int(max_new_tokens)))
+        return rid
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self.queue) or bool(self.active.any())
+
+    def _admit_pending(self):
+        for slot in range(self.max_batch):
+            if not self.queue:
+                break
+            if self.active[slot]:
+                continue
+            r = self.queue.popleft()
+            width = _width_bucket(r.prompt.size)
+            rect = np.zeros((1, width), np.int32)
+            rect[0, : r.prompt.size] = r.prompt
+            fn = self._admit_fn(width)
+            self.cache, self.last_logits = fn(
+                self.params, self.cache, self.last_logits,
+                jnp.asarray(rect), jnp.int32(r.prompt.size), jnp.int32(slot),
+            )
+            self.slots[slot] = r
+            self.active[slot] = True
+            self.stats["admitted"] += 1
+
+    def step(self):
+        """One engine tick: admit pending requests into free slots, then
+        decode one chunk for every active slot. Returns the requests that
+        finished this tick."""
+        self._admit_pending()
+        finished = []
+        if not self.active.any():
+            return finished
+
+        self.rng, key = jax.random.split(self.rng)
+        t0 = time.perf_counter()
+        self.cache, self.last_logits, toks = self._decode()(
+            self.params, self.cache, self.last_logits,
+            jnp.asarray(self.active), key, self.decode_chunk,
+        )
+        toks = np.asarray(toks)
+        self.stats["decode_time_s"] += time.perf_counter() - t0
+        self.stats["decode_chunks"] += 1
+
+        for slot in range(self.max_batch):
+            if not self.active[slot]:
+                continue
+            r = self.slots[slot]
+            for t in toks[slot]:
+                if len(r.tokens) >= r.max_new_tokens:
+                    break
+                r.tokens.append(int(t))
+                self.stats["generated_tokens"] += 1
+                if self.eos_id is not None and int(t) == self.eos_id:
+                    break
+            hit_eos = (
+                self.eos_id is not None
+                and r.tokens
+                and r.tokens[-1] == self.eos_id
+            )
+            if len(r.tokens) >= r.max_new_tokens or hit_eos:
+                r.done = True
+                finished.append(r)
+                self.slots[slot] = None
+                self.active[slot] = False
+        return finished
+
+    def run(self, prompts=None, max_new_tokens: Optional[int] = None):
+        """Drive until the queue and all slots drain. Optionally submit
+        `prompts` (each decoding `max_new_tokens`) first. Returns finished
+        Requests in completion order."""
+        if prompts is not None:
+            assert max_new_tokens is not None
+            for p in prompts:
+                self.submit(p, max_new_tokens)
+        out = []
+        while self.has_work:
+            out.extend(self.step())
+        return out
