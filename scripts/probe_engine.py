@@ -79,7 +79,7 @@ def main():
     def make_engine():
         return ServingEngine(
             model, params, max_batch=pool, max_seq_len=1024,
-            decode_chunk=16, temperature=0.0,
+            temperature=0.0,
         )
 
     eng = make_engine()

@@ -15,13 +15,19 @@ Design (TPU-first):
   the flash-kernel prefill path, then scatters that row (K/V, scales,
   validity mask, idx, last logits) into the pool at the free slot — one
   jitted dispatch per admission, one trace per power-of-two width bucket.
-- **Decode** runs all slots together in chunks of `decode_chunk` tokens
-  (one jitted lax.scan dispatch per chunk; single trace). Inactive slots
-  still compute (SPMD — no dynamic shapes) but their cache index is pinned
-  and their fresh slots are marked invalid, so they are bit-inert; their
-  sampled tokens are discarded host-side.
-- The host loop between chunks admits/retires; a request's tokens past its
-  budget or EOS are truncated host-side and its slot freed for the queue.
+- **Decode** runs all slots together in adaptively-sized chunks (one jitted
+  lax.scan dispatch per chunk; O(log decode_chunk) traces). Retirement is
+  tracked IN-SCAN: the active mask and per-row remaining budgets ride the
+  scan carry, so a row stops emitting — and stops touching its cache — the
+  moment it hits budget or EOS, no matter how long the chunk runs. Chunks
+  therefore stretch to the next guaranteed admission opportunity (min
+  remaining budget while requests queue; full drain when none do), keeping
+  the dispatch count near the admission count instead of one-per-few-tokens
+  — the difference between tunnel-RTT-bound and compute-bound serving.
+  Inactive slots still compute (SPMD — no dynamic shapes) but are bit-inert
+  (cache index pinned, fresh slots marked invalid).
+- The host loop between chunks admits/retires and collects each row's
+  emitted prefix.
 
 Greedy decode (temperature=0) reproduces `generate_text_only` rows
 token-for-token (tested). With temperature > 0 the engine uses one rng
@@ -69,7 +75,9 @@ class ServingEngine:
         *,
         max_batch: int,
         max_seq_len: int,
-        decode_chunk: int = 8,
+        decode_chunk: int = 256,  # MAX tokens per decode dispatch; actual
+        # chunks are sized adaptively (next guaranteed retirement / full
+        # drain) and bucketed to powers of two — see _chunk_len
         temperature: float = 0.0,
         min_p: float = 0.0,
         kv_quantize: Optional[bool] = None,  # None = measured auto-policy
@@ -165,16 +173,24 @@ class ServingEngine:
         return fn
 
     def _decode(self):
+        """Chunked decode with IN-SCAN retirement: the active mask and
+        per-row remaining budgets live in the scan carry, so a row stops
+        emitting (and stops touching its cache) the moment it hits its
+        budget or EOS — a chunk may safely overshoot any row's end. This is
+        what lets the host run few, long dispatches (admission boundaries
+        only) instead of syncing every few tokens; on a remote/tunneled TPU
+        the per-dispatch RTT dominates a host-paced loop."""
         if self._decode_fn is not None:
             return self._decode_fn
         from transfusion_tpu.models.transformer import cache_mark_valid
 
         model = self.model
         temperature, min_p = self.temperature, self.min_p
+        eos_id = self.eos_id
 
-        def decode(params, cache, last_logits, active, rng, k):
+        def decode(params, cache, last_logits, active, budget_left, rng, k):
             def step(carry, _):
-                cache, last, rng = carry
+                cache, last, rng, active, left = carry
                 rng, key = jax.random.split(rng)
                 tok = model._sample_text_tok(key, last, temperature, min_p)
                 old_idx = cache["idx"]
@@ -192,15 +208,23 @@ class ServingEngine:
                 last = jnp.where(
                     active[:, None], logits[:, -1].astype(jnp.float32), last
                 )
-                return (cache, last, rng), tok
+                left_next = left - active.astype(jnp.int32)
+                stop = left_next <= 0
+                if eos_id is not None:
+                    stop = stop | (tok == eos_id)
+                active_next = active & ~stop
+                return (cache, last, rng, active_next, left_next), (
+                    tok, active,
+                )
 
-            (cache, last, rng), toks = jax.lax.scan(
-                step, (cache, last_logits, rng), None, length=k
+            (cache, last, rng, active, left), (toks, emitted) = jax.lax.scan(
+                step, (cache, last_logits, rng, active, budget_left),
+                None, length=k,
             )
-            return cache, last, toks.T  # [B, k]
+            return cache, last, active, left, toks.T, emitted.T  # [B, k]
 
         self._decode_fn = jax.jit(
-            decode, static_argnums=(5,), donate_argnums=(1, 2)
+            decode, static_argnums=(6,), donate_argnums=(1, 2)
         )
         return self._decode_fn
 
@@ -245,22 +269,55 @@ class ServingEngine:
             self.active[slot] = True
             self.stats["admitted"] += 1
 
+    def _chunk_len(self) -> int:
+        """Adaptive chunk size, bucketed to powers of two (bounded trace
+        count). Retirement is tracked in-scan, so overshooting a row's end
+        is safe — the choice only trades dispatch count against how long a
+        freed slot idles before the next admission:
+        - queue waiting: stop at the earliest guaranteed retirement
+          (min remaining budget), rounded DOWN, so the queued request is
+          admitted promptly;
+        - queue empty: drain — run to the last row's budget, rounded UP
+          (rows that finish earlier go inert in-scan)."""
+        rem = [
+            self.slots[s].max_new_tokens - len(self.slots[s].tokens)
+            for s in range(self.max_batch)
+            if self.active[s]
+        ]
+        k = min(rem) if self.queue else max(rem)
+        k = max(1, min(k, self.decode_chunk))
+        down = 1 << (k.bit_length() - 1)
+        if self.queue:
+            return down
+        return down if down == k else min(down * 2, self.decode_chunk)
+
     def step(self):
         """One engine tick: admit pending requests into free slots, then
-        decode one chunk for every active slot. Returns the requests that
-        finished this tick."""
+        decode one adaptively-sized chunk for every active slot. Returns
+        the requests that finished this tick."""
         self._admit_pending()
         finished = []
         if not self.active.any():
             return finished
 
+        k = self._chunk_len()
         self.rng, key = jax.random.split(self.rng)
+        budget_left = np.zeros(self.max_batch, np.int32)
+        for s in range(self.max_batch):
+            if self.active[s]:
+                budget_left[s] = (
+                    self.slots[s].max_new_tokens - len(self.slots[s].tokens)
+                )
         t0 = time.perf_counter()
-        self.cache, self.last_logits, toks = self._decode()(
-            self.params, self.cache, self.last_logits,
-            jnp.asarray(self.active), key, self.decode_chunk,
+        (self.cache, self.last_logits, active_f, _, toks, emitted) = (
+            self._decode()(
+                self.params, self.cache, self.last_logits,
+                jnp.asarray(self.active), jnp.asarray(budget_left), key, k,
+            )
         )
         toks = np.asarray(toks)
+        emitted = np.asarray(emitted)
+        active_f = np.asarray(active_f)
         self.stats["decode_time_s"] += time.perf_counter() - t0
         self.stats["decode_chunks"] += 1
 
@@ -268,23 +325,16 @@ class ServingEngine:
             if not self.active[slot]:
                 continue
             r = self.slots[slot]
-            for t in toks[slot]:
-                if len(r.tokens) >= r.max_new_tokens:
+            for j in range(k):
+                if not emitted[slot, j]:
                     break
-                r.tokens.append(int(t))
+                r.tokens.append(int(toks[slot, j]))
                 self.stats["generated_tokens"] += 1
-                if self.eos_id is not None and int(t) == self.eos_id:
-                    break
-            hit_eos = (
-                self.eos_id is not None
-                and r.tokens
-                and r.tokens[-1] == self.eos_id
-            )
-            if len(r.tokens) >= r.max_new_tokens or hit_eos:
+            self.active[slot] = bool(active_f[slot])
+            if not self.active[slot]:
                 r.done = True
                 finished.append(r)
                 self.slots[slot] = None
-                self.active[slot] = False
         return finished
 
     def run(self, prompts=None, max_new_tokens: Optional[int] = None):
