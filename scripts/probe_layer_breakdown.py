@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-N_IT = 20
+N_IT = 100  # the tunnel dispatch RTT is ~30 ms; at 20 iterations that was
+# a ~1.5 ms/iter floor swamping every module — 100 shrinks it to ~0.3 ms
 B, N, DIM = 32, 256, 384
 
 

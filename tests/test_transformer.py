@@ -213,3 +213,45 @@ def test_per_instance_conditioning_matches_per_token():
     np.testing.assert_allclose(
         np.asarray(out_tok), np.asarray(out_inst), atol=1e-5
     )
+
+
+def test_fused_projections_parity():
+    """fuse_projections=True must keep the exact param tree (same names,
+    same init values) and reproduce the unfused outputs to rounding —
+    including the learned value-residual mix and gate projections."""
+    from transfusion_tpu.models.layers import Attention
+    from transfusion_tpu.ops.rope import rope_angles
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 16, 32)), jnp.float32
+    )
+    seq = jnp.arange(16)
+    kw = dict(
+        rope=rope_angles(seq, 16),
+        mask=(seq[:, None] >= seq[None, :])[None, None],
+    )
+    vr = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 2, 16, 16)), jnp.float32
+    )
+
+    for learned_mix in (False, True):
+        a_f = Attention(dim=32, dim_head=16, heads=2, fuse_projections=True,
+                        learned_value_residual_mix=learned_mix)
+        a_u = Attention(dim=32, dim_head=16, heads=2, fuse_projections=False,
+                        learned_value_residual_mix=learned_mix)
+        p_f = a_f.init(jax.random.PRNGKey(0), x, value_residual=vr, **kw)
+        p_u = a_u.init(jax.random.PRNGKey(0), x, value_residual=vr, **kw)
+        assert jax.tree_util.tree_structure(p_f) == jax.tree_util.tree_structure(p_u)
+        for (k1, l1), (_, l2) in zip(
+            jax.tree_util.tree_leaves_with_path(p_f),
+            jax.tree_util.tree_leaves_with_path(p_u),
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(l1), np.asarray(l2), err_msg=str(k1)
+            )
+        out_f = a_f.apply(p_f, x, value_residual=vr, **kw)[0]
+        out_u = a_u.apply(p_f, x, value_residual=vr, **kw)[0]
+        np.testing.assert_allclose(
+            np.asarray(out_f), np.asarray(out_u), atol=2e-6,
+            err_msg=f"learned_mix={learned_mix}",
+        )

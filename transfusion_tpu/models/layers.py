@@ -104,6 +104,15 @@ class Attention(nn.Module):
     laser: bool = False
     laser_softclamp_value: float = 15.0
     learned_value_residual_mix: bool = False
+    fuse_projections: bool = False  # run to_qk / to_v / (mix) / (gates)
+    # as ONE [dim, ~4*dim_inner] matmul. XLA's TPU pipeline does NOT merge
+    # the separate dots (verified in compiled HLO) and the h-wide gate/mix
+    # projections waste MXU lanes, yet the fused step measured 3% SLOWER
+    # end-to-end at the bench config (31.8 -> 32.8 ms/step,
+    # scripts/probe_fused_proj.py): the concat/slice copies it adds in
+    # fwd+bwd outweigh the saved passes. Kept as an option (param tree and
+    # numerics are unchanged either way — the child Dense modules still own
+    # their kernels; only the compute is concatenated), default off.
     attn_impl: str = "dense"  # 'dense' | 'flash' | 'ring' | 'cp_allgather'
     mesh: Any = None  # jax.sharding.Mesh — required for ring/cp_allgather
     context_axis: str = "context"
@@ -137,10 +146,59 @@ class Attention(nn.Module):
         dim_inner = h * dh
         scale = dh**-0.5
 
-        qk = nn.Dense(dim_inner * 2, use_bias=False, dtype=self.dtype, name="to_qk")(x)
-        q, k = jnp.split(qk, 2, axis=-1)
-        v = nn.Dense(dim_inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
+        d_qk = nn.Dense(
+            dim_inner * 2, use_bias=False, dtype=self.dtype, name="to_qk"
+        )
+        d_v = nn.Dense(
+            dim_inner, use_bias=False, dtype=self.dtype, name="to_v"
+        )
+        learn_mix = (
+            value_residual is not None and self.learned_value_residual_mix
+        )
+        d_mix = (
+            nn.Dense(h, dtype=self.dtype, name="to_value_residual_mix")
+            if learn_mix
+            else None
+        )
+        d_gates = (
+            nn.Dense(h, use_bias=False, dtype=self.dtype, name="to_gates")
+            if self.gate_values
+            else None
+        )
 
+        mix_pre = gates_pre = None
+        if self.fuse_projections:
+            # bind the children on a 1-token slice (creates the params with
+            # their usual names/init; the unused outputs are DCE'd), then
+            # run all projections as one concatenated matmul
+            mods = [m for m in (d_qk, d_v, d_mix, d_gates) if m is not None]
+            for m in mods:
+                m(x[:1, :1])
+            kernel = jnp.concatenate(
+                [m.variables["params"]["kernel"] for m in mods], axis=-1
+            ).astype(self.dtype)
+            y = x @ kernel
+            qk, v = (
+                y[..., : dim_inner * 2],
+                y[..., dim_inner * 2 : dim_inner * 3],
+            )
+            off = dim_inner * 3
+            if d_mix is not None:
+                mix_pre = y[..., off : off + h] + d_mix.variables["params"][
+                    "bias"
+                ].astype(self.dtype)
+                off += h
+            if d_gates is not None:
+                gates_pre = y[..., off : off + h]
+        else:
+            qk = d_qk(x)
+            v = d_v(x)
+            if d_mix is not None:
+                mix_pre = d_mix(x)
+            if d_gates is not None:
+                gates_pre = d_gates(x)
+
+        q, k = jnp.split(qk, 2, axis=-1)
         q, k, v = (
             rearrange(t, "b n (h d) -> b h n d", h=h) for t in (q, k, v)
         )
@@ -149,10 +207,7 @@ class Attention(nn.Module):
 
         if value_residual is not None:
             if self.learned_value_residual_mix:
-                mix = nn.sigmoid(
-                    nn.Dense(h, dtype=self.dtype, name="to_value_residual_mix")(x)
-                )
-                mix = rearrange(mix, "b n h -> b h n 1")
+                mix = rearrange(nn.sigmoid(mix_pre), "b n h -> b h n 1")
             else:
                 mix = 0.5
             mixed = v * mix + value_residual * (1.0 - mix)
@@ -329,8 +384,7 @@ class Attention(nn.Module):
             out = safe_log(out)
 
         if self.gate_values:
-            gates = nn.Dense(h, use_bias=False, dtype=self.dtype, name="to_gates")(x)
-            out = out * nn.sigmoid(rearrange(gates, "b n h -> b h n 1"))
+            out = out * nn.sigmoid(rearrange(gates_pre, "b n h -> b h n 1"))
 
         out = rearrange(out, "b h n d -> b n (h d)")
         out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(out)

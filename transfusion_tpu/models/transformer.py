@@ -159,6 +159,7 @@ class TransformerBlock(nn.Module):
     deterministic: bool
     fused_nomask: bool = False  # ring/cp full attention (no structural mask)
     prefill: bool = False  # cached prefill — see Attention
+    fuse_projections: bool = True  # see Attention.fuse_projections
     mesh: Any = None
     dtype: Any = jnp.float32
 
@@ -201,6 +202,7 @@ class TransformerBlock(nn.Module):
             laser=self.attn_laser,
             learned_value_residual_mix=not self.is_first,
             attn_impl=self.attn_impl,
+            fuse_projections=self.fuse_projections,
             mesh=self.mesh,
             dtype=self.dtype,
             name=f"attn_{ind}",
@@ -283,6 +285,9 @@ class Transformer(nn.Module):
     attn_gate_values: bool = True
     rope_theta: float = 10000.0
     fourier_seed: int = 0
+    fuse_projections: bool = False  # one concatenated QK/V/mix/gates
+    # matmul per attention — measured 3% slower end-to-end, see
+    # Attention.fuse_projections
     remat: bool = False
     remat_policy: str = "full"  # 'full' | 'dots' — 'dots' saves matmul
     # outputs and rematerializes only elementwise ops in the backward
@@ -584,6 +589,7 @@ class Transformer(nn.Module):
                 deterministic=deterministic,
                 fused_nomask=fused_nomask,
                 prefill=prefill,
+                fuse_projections=self.fuse_projections,
                 mesh=self.mesh,
                 dtype=self.dtype,
                 name=f"block_{ind}",

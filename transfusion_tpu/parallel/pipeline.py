@@ -158,6 +158,7 @@ def _canonical_block(t, flash_causal: bool = False):
         modality_only=False,
         flash_causal=flash_causal,
         deterministic=True,
+        fuse_projections=t.fuse_projections,
         dtype=t.dtype,
         name="block_0",
     )
