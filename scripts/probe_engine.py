@@ -102,6 +102,52 @@ def main():
           f"decode {eng2.stats['decode_time_s']:.2f}s]")
     print(f"speedup: {dt_static/dt_eng:.2f}x")
 
+    # --- scenario B: bimodal budgets, deep queue ---------------------------
+    # (the shape continuous batching exists for: a few long generations must
+    # not hold 7 of 8 slots hostage while short requests queue)
+    n_req2 = 48
+    hists2 = rng.integers(64, 256, n_req2)
+    budgets2 = np.asarray([256 if i % 8 == 0 else 16 for i in range(n_req2)])
+    prompts2 = [rng.integers(0, 256, h).astype(np.int32) for h in hists2]
+    useful2 = int(budgets2.sum())
+    print(f"\nscenario B: {n_req2} requests, {useful2} useful tokens, "
+          "budgets 16 (7/8) / 256 (1/8)")
+
+    def run_static2():
+        for i in range(0, n_req2, pool):
+            grp = slice(i, i + pool)
+            toks = model.generate_text_batch(
+                params, prompts2[grp], max_new_tokens=int(budgets2[grp].max()),
+                rng=jax.random.PRNGKey(1), temperature=0.0,
+            )
+            float(jnp.sum(toks))
+
+    run_static2()  # compile
+    t0 = time.perf_counter()
+    run_static2()
+    dt_s2 = time.perf_counter() - t0
+    print(f"static: {useful2} useful tok in {dt_s2:.2f}s "
+          f"({useful2/dt_s2:.1f} useful tok/s)")
+
+    e3 = make_engine()
+    e3._admit_fns, e3._decode_fn = eng._admit_fns, eng._decode_fn
+    for p, b in zip(prompts2, budgets2):
+        e3.submit(p, int(b))
+    e3.run()  # compile any new (width, nb)/k combos
+
+    e4 = make_engine()
+    e4._admit_fns, e4._decode_fn = e3._admit_fns, e3._decode_fn
+    for p, b in zip(prompts2, budgets2):
+        e4.submit(p, int(b))
+    t0 = time.perf_counter()
+    done = e4.run()
+    dt_e2 = time.perf_counter() - t0
+    got = sum(len(r.tokens) for r in done)
+    print(f"engine: {got} useful tok in {dt_e2:.2f}s "
+          f"({got/dt_e2:.1f} useful tok/s)  "
+          f"[{e4.stats['decode_chunks']} chunks]")
+    print(f"speedup: {dt_s2/dt_e2:.2f}x")
+
 
 if __name__ == "__main__":
     main()
