@@ -342,3 +342,60 @@ def test_q_kv_offset_causal_chunk():
     )
     assert bool(jnp.all(lse2 < -1e29))
     np.testing.assert_allclose(np.asarray(out2), 0.0, atol=1e-6)
+
+
+def test_batched_heads_vs_blocked_paths(monkeypatch):
+    """The short-seq batched-heads kernel (grid (b,), all heads per step —
+    the path every bench-shaped call takes) matches the blocked resident
+    kernels bit-for-bit-ish and the dense oracle, fwd + grads."""
+    import transfusion_tpu.ops.pallas_attn_kernel as K
+
+    q, k, v = make_qkv(b=2, h=4, n=256)
+    spans = jnp.array(
+        [[[0, 40, 40], [1, 130, 64]], [[0, 10, 100], [0, 0, 0]]], jnp.int32
+    )
+    assert 4 * 256 * 64 <= K._MAX_HND_BATCHED  # routes batched by default
+
+    def run():
+        out = K.flash_attention(q, k, v, spans, True, 50.0)
+        g = jax.grad(
+            lambda q, k, v: (K.flash_attention(q, k, v, spans, True, 50.0) ** 2).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        return out, g
+
+    out_b, g_b = run()
+    monkeypatch.setattr(K, "_MAX_HND_BATCHED", 0)  # force blocked kernels
+    out_k, g_k = run()
+
+    want = _reference_attention(q, k, v, spans, True, 50.0)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(want), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_k), atol=2e-5)
+    for a, b in zip(g_b, g_k):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_batched_heads_lse_and_offsets(monkeypatch):
+    """CP-mode (global offsets + lse out + grad through lse) parity between
+    the batched-heads kernel and the blocked kernels."""
+    import transfusion_tpu.ops.pallas_attn_kernel as K
+
+    q, k, v = make_qkv(b=1, h=2, n=128)
+    kf, vf = jnp.tile(k, (1, 1, 2, 1)), jnp.tile(v, (1, 1, 2, 1))
+    spans = jnp.array([[[0, 30, 60]]], jnp.int32)
+
+    def f(q, kf, vf):
+        o, ls = K.flash_attention(
+            q, kf, vf, spans=spans, causal=True, softcap=50.0,
+            q_offset=128, kv_offset=0, return_lse=True,
+        )
+        return (o**2).sum() + jnp.sum(jnp.sin(ls)), (o, ls)
+
+    (_, (o_b, lse_b)), g_b = jax.value_and_grad(f, argnums=(0, 1, 2), has_aux=True)(q, kf, vf)
+    monkeypatch.setattr(K, "_MAX_HND_BATCHED", 0)
+    (_, (o_k, lse_k)), g_k = jax.value_and_grad(f, argnums=(0, 1, 2), has_aux=True)(q, kf, vf)
+
+    np.testing.assert_allclose(np.asarray(o_b), np.asarray(o_k), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lse_b), np.asarray(lse_k), atol=2e-5)
+    for a, b in zip(g_b, g_k):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)

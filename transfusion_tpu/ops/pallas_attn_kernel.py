@@ -192,6 +192,69 @@ def _kernel(
         lse_ref[0, 0] = jnp.broadcast_to(lse_row, (8, lse_row.shape[1]))
 
 
+def _kernel_batched_heads(
+    spans_ref,  # i32[b, m, 3] scalar-prefetch (SMEM)
+    offs_ref,  # i32[2] scalar-prefetch: (q_offset, kv_offset) global coords
+    q_ref,  # [1, h, nq, D] — ALL heads of one batch row
+    k_ref,  # [1, h, nkv, D]
+    v_ref,  # [1, h, nkv, D]
+    o_ref,  # [1, h, nq, D]
+    lse_ref=None,  # [1, h, 8, nq]
+    *,
+    use_spans: bool,
+    softcap: float,
+    num_spans: int,
+    scale: float,
+    h: int,
+    nq: int,
+    nkv: int,
+):
+    """Short-sequence variant: grid (b,) — every head of a batch row is
+    processed inside ONE grid step, with the full [nq, nkv] score matrix
+    resident in VMEM (no online softmax needed at these sizes).
+
+    Why it exists: Mosaic pays ~1-3us of grid-step overhead per tile. At the
+    flagship bench shape (b=32 h=8 n=256) the (b, h, nq-block) layout runs
+    256 grid steps — ~0.5 ms of pure overhead against ~0.1 ms of matmul
+    time, which made the flash path LOSE to dense XLA at short sequences
+    (docs_evidence.md within-layer breakdown). Collapsing to 32 steps makes
+    the overhead negligible while still keeping scores out of HBM. The mask
+    is evaluated once per batch row and shared across heads."""
+    b = pl.program_id(0)
+    q_off, kv_off = offs_ref[0], offs_ref[1]
+    rows = q_off + jax.lax.broadcasted_iota(jnp.int32, (nq, nkv), 0)
+    cols = kv_off + jax.lax.broadcasted_iota(jnp.int32, (nq, nkv), 1)
+    allowed = _span_allowed(
+        spans_ref, b, rows, cols, rows >= cols,
+        use_spans=use_spans, num_spans=num_spans,
+    )
+    for ih in range(h):  # static unroll — h is a Python int
+        q_h = q_ref[0, ih] * jnp.asarray(scale, q_ref.dtype)
+        s = jax.lax.dot_general(
+            q_h, k_ref[0, ih], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [nq, nkv]
+        if softcap > 0:
+            s = jnp.tanh(s / softcap) * softcap
+        s = jnp.where(allowed, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        # fully-masked rows: m == NEG_INF and exp(s - m) would be exp(0)=1;
+        # the contract (ring-attention merge relies on it) is out=0 and
+        # lse ~ NEG_INF for such rows, like the blocked kernels' empty loops
+        p = jnp.where(m > 0.5 * NEG_INF, jnp.exp(s - m), 0.0)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        l_safe = jnp.maximum(l, 1e-30)
+        v_h = v_ref[0, ih]
+        acc = jax.lax.dot_general(
+            p.astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, ih] = (acc / l_safe).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse_row = (m + jnp.log(l_safe)).T  # [1, nq]
+            lse_ref[0, ih] = jnp.broadcast_to(lse_row, (8, nq))
+
+
 def _kernel_streamed(
     spans_ref,  # i32[b, m, 3] scalar-prefetch (SMEM)
     offs_ref,  # i32[2] scalar-prefetch: (q_offset, kv_offset) global coords
@@ -294,9 +357,36 @@ def _flash_fwd(q, k, v, spans, causal, softcap, save_lse: bool = False,
     bq = _pick_block(nq, (BQ, 128, 64, 32, 16, 8))
     bk = _pick_block(nkv, (BK, 256, 128, 64, 32, 16, 8))
     streamed = max(nq, nkv) * d > _MAX_N_TIMES_D_RESIDENT
+    batched = not streamed and h * max(nq, nkv) * d <= _MAX_HND_BATCHED
 
     out_shape = _sds(q.shape, q.dtype, q)
-    if streamed:
+    if batched:
+        kernel = functools.partial(
+            _kernel_batched_heads,
+            use_spans=use_spans,
+            softcap=float(softcap),
+            num_spans=m,
+            scale=scale,
+            h=h,
+            nq=nq,
+            nkv=nkv,
+        )
+        row = lambda shape: pl.BlockSpec(shape, lambda b, *_: (b, 0, 0, 0))
+        out_specs = row((1, h, nq, d))
+        if save_lse:
+            out_shape = (out_shape, _sds((b, h, 8, nq), jnp.float32, q))
+            out_specs = (out_specs, row((1, h, 8, nq)))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b,),
+            in_specs=[
+                row((1, h, nq, d)),
+                row((1, h, nkv, d)),
+                row((1, h, nkv, d)),
+            ],
+            out_specs=out_specs,
+        )
+    elif streamed:
         kernel = functools.partial(
             _kernel_streamed,
             use_spans=use_spans,
@@ -383,7 +473,9 @@ def _flash_fwd(q, k, v, spans, causal, softcap, save_lse: bool = False,
 
     # batch/head/q-block grid dims are independent -> megacore-parallel;
     # the streamed kernel's kv dim carries scratch state -> sequential
-    if streamed:
+    if batched:
+        semantics = ("parallel",)
+    elif streamed:
         semantics = ("parallel", "parallel", "parallel", "arbitrary")
     else:
         semantics = ("parallel", "parallel", "parallel")
@@ -420,6 +512,125 @@ def _recompute_p(q_blk, k_blk, spans_ref, b, q_start, k_start, lse_blk,
     )
     p = jnp.exp(s_masked - lse_blk)  # lse_blk: [bq, 1]
     return p, s
+
+
+def _bwd_kernel_batched_heads(
+    spans_ref, offs_ref, q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+    dq_ref, dk_ref, dv_ref,
+    *, use_spans, softcap, num_spans, scale, h, nq, nkv,
+):
+    """Short-sequence backward twin of `_kernel_batched_heads`: grid (b,),
+    all heads and the full [nq, nkv] probability matrix of one batch row in
+    VMEM, dq/dk/dv produced by ONE kernel (the blocked backward launches two
+    kernels x b*h*blocks grid steps — pure overhead at these sizes). Same
+    recompute math as `_recompute_p`: p from the saved lse, softcap chained
+    via ds *= 1 - (s/softcap)^2."""
+    b = pl.program_id(0)
+    q_off, kv_off = offs_ref[0], offs_ref[1]
+    rows = q_off + jax.lax.broadcasted_iota(jnp.int32, (nq, nkv), 0)
+    cols = kv_off + jax.lax.broadcasted_iota(jnp.int32, (nq, nkv), 1)
+    allowed = _span_allowed(
+        spans_ref, b, rows, cols, rows >= cols,
+        use_spans=use_spans, num_spans=num_spans,
+    )
+    for ih in range(h):  # static unroll
+        q_h = q_ref[0, ih].astype(jnp.float32) * scale
+        k_h = k_ref[0, ih].astype(jnp.float32)
+        v_h = v_ref[0, ih].astype(jnp.float32)
+        do_h = do_ref[0, ih].astype(jnp.float32)
+        lse_h = lse_ref[0, ih, 0:1, :].T  # [nq, 1]
+        delta_h = delta_ref[0, ih, 0:1, :].T
+
+        s = jax.lax.dot_general(
+            q_h, k_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if softcap > 0:
+            s = jnp.tanh(s / softcap) * softcap
+        # where() instead of exp(masked - lse): a fully-masked row has
+        # lse ~ NEG_INF and exp(NEG_INF - NEG_INF) = 1 would leak mean-of-v
+        # gradients (the blocked kernels skip such tiles via loop bounds)
+        p = jnp.where(allowed, jnp.exp(s - lse_h), 0.0)
+
+        dv = jax.lax.dot_general(
+            p, do_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do_h, v_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_h)
+        if softcap > 0:
+            ds = ds * (1.0 - (s / softcap) ** 2)
+        dk = jax.lax.dot_general(
+            ds, q_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq = jax.lax.dot_general(
+            ds, k_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dq_ref[0, ih] = dq.astype(dq_ref.dtype)
+        dk_ref[0, ih] = dk.astype(dk_ref.dtype)
+        dv_ref[0, ih] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd_batched(q, k, v, spans, o, lse, g, softcap, offs, g_lse):
+    """Single-kernel backward for shapes inside the batched-heads envelope."""
+    b, h, nq, d = q.shape
+    nkv = k.shape[2]
+    use_spans = spans is not None
+    if spans is None:
+        spans = jnp.zeros((b, 1, 3), jnp.int32)
+    if offs is None:
+        offs = jnp.zeros((2,), jnp.int32)
+    m = spans.shape[1]
+    scale = d**-0.5
+
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    if g_lse is not None:
+        delta = delta - g_lse  # ds = p*(dp - (delta - g_lse))
+    delta = jnp.broadcast_to(delta[:, :, None, :], (b, h, 8, nq))
+
+    spec = pl.BlockSpec
+    row = lambda shape: spec(shape, lambda b, *_: (b, 0, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_batched_heads,
+            use_spans=use_spans, softcap=float(softcap), num_spans=m,
+            scale=scale, h=h, nq=nq, nkv=nkv,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b,),
+            in_specs=[
+                row((1, h, nq, d)),   # q
+                row((1, h, nq, d)),   # do
+                row((1, h, 8, nq)),   # lse
+                row((1, h, 8, nq)),   # delta
+                row((1, h, nkv, d)),  # k
+                row((1, h, nkv, d)),  # v
+            ],
+            out_specs=(
+                row((1, h, nq, d)),
+                row((1, h, nkv, d)),
+                row((1, h, nkv, d)),
+            ),
+        ),
+        out_shape=(
+            _sds(q.shape, q.dtype, q),
+            _sds(k.shape, k.dtype, k),
+            _sds(v.shape, v.dtype, v),
+        ),
+        interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+    )
+    return out(
+        spans.astype(jnp.int32), offs.astype(jnp.int32), q, g, lse, delta, k, v
+    )
 
 
 def _bwd_dkv_kernel(
@@ -868,8 +1079,17 @@ def _bwd(causal, softcap, return_lse, res, g):
         g_lse = g_lse_full.sum(axis=2)
     else:
         g_lse = None
-    nq, d = q.shape[2], q.shape[3]
+    h, nq, d = q.shape[1], q.shape[2], q.shape[3]
     nkv = k.shape[2]
+    if (
+        h * max(nq, nkv) * d <= _MAX_HND_BATCHED
+        and max(nq, nkv) * d <= _MAX_N_TIMES_D_BWD
+    ):
+        # short-sequence single-kernel backward (grid (b,), heads in-step)
+        dq, dk, dv = _flash_bwd_batched(
+            q, k, v, spans, o, lse, g, softcap, offs, g_lse
+        )
+        return dq, dk, dv, None, None
     if max(nq, nkv) * d > _MAX_N_TIMES_D_BWD:
         # beyond the resident kernels' VMEM envelope: HBM-streamed backward
         # (O(block) VMEM — no dense fallback, no O(n^2) memory)
@@ -947,6 +1167,15 @@ def flash_attention(q, k, v, spans=None, causal=False, softcap=50.0,
         out, lse8 = res
         return out, lse8[:, :, 0, :]  # collapse the duplicated sublanes
     return res
+
+# batched-heads (grid (b,)) envelope: h * n * d elements per operand block.
+# Inside it, one grid step holds ALL heads of a batch row plus a full
+# [nq, nkv] f32 score matrix in VMEM — at h=8 n=256 d=64 the fwd blocks are
+# 262 KB each and the backward (9 blocks, double-buffered, + p/ds temps)
+# stays ~5 MB, comfortably under the 16 MB VMEM. The win is grid-step count:
+# 32 steps instead of 256 (fwd) / 512 (bwd) at the flagship bench shape,
+# where ~1-3us/step Mosaic overhead made flash lose to dense XLA.
+_MAX_HND_BATCHED = 8 * 256 * 64
 
 # VMEM-resident K/V ceiling (with double buffering Mosaic needs ~4x n*d*4
 # bytes of scoped VMEM): beyond it the forward switches to the grid-streamed
