@@ -127,15 +127,23 @@ def main():
     )
     print(f"rope(q)+rope(k): {ms - floor:.3f} ms")
 
-    # the b n (h d) -> b h n d transposes (3 in, 1 out)
+    # the b n (h d) -> b h n d transposes exactly as the attention wrapper
+    # does them: THREE inbound rearranges (q, k, v at the inner dim H*DH =
+    # 512 — NOT the model dim 384) plus ONE outbound inverse.
+    xi = jnp.asarray(rng.standard_normal((B, N, DI)), dtype=jnp.bfloat16)
+
     def transposes(xx):
         from einops import rearrange
 
-        t = rearrange(xx, "b n (h d) -> b h n d", h=H // 2)
+        qh = rearrange(xx, "b n (h d) -> b h n d", h=H)
+        kh = rearrange(xx + jnp.bfloat16(1.0), "b n (h d) -> b h n d", h=H)
+        vh = rearrange(xx + jnp.bfloat16(2.0), "b n (h d) -> b h n d", h=H)
+        t = qh + kh + vh  # keep all three live so none is DCE'd
         return rearrange(t, "b h n d -> b n (h d)")
 
-    ms = timeit(transposes, x)
-    print(f"rearrange roundtrip (b n hd <-> b h n d): {ms - floor:.3f} ms")
+    ms = timeit(transposes, xi)
+    print(f"rearrange 3-in+1-out (b n (h d) <-> b h n d, hd={DI}): "
+          f"{ms - floor:.3f} ms")
 
     # --- model-level gap -------------------------------------------------
     from transfusion_tpu.models.transformer import Transformer

@@ -24,34 +24,18 @@ jax.config.update("jax_platforms", "cpu")
 # persistent XLA compile cache for the CPU test backend: the container has a
 # single core, so the 40-min suite wall time is almost entirely serial
 # compilation — cached entries make repeat runs (and identical HLO compiled
-# by different test modules within one run) near-free. The dir is keyed by a
-# host-CPU fingerprint: CPU cache entries embed AOT machine code whose cache
-# key ignores host features, and loading another machine's entry risks
-# SIGILL (the r2 intermittent 'Fatal Python error'; see
-# transfusion_tpu/__init__.py for the evidence trail).
-import hashlib  # noqa: E402
+# by different test modules within one run) near-free. The dir is keyed by
+# cpuinfo identity + kernel BOOT ID: CPU cache entries embed AOT machine
+# code whose cache key ignores the host target, and loading another
+# machine's entry risks SIGILL (the r2 intermittent 'Fatal Python error');
+# per-boot isolation makes cross-machine loads impossible by construction —
+# full evidence trail in transfusion_tpu/utils/hostfp.py.
+from transfusion_tpu.utils.hostfp import cpu_cache_fingerprint  # noqa: E402
 
-try:
-    # include model/stepping/microcode too: virtualized hosts share the
-    # generic model-name string + flags across CPU generations while LLVM
-    # tunes by model/stepping (prefer-no-gather etc.) — see
-    # transfusion_tpu/__init__.py
-    with open("/proc/cpuinfo") as _f:
-        _feat = "".join(
-            ln
-            for ln in _f
-            if ln.startswith(
-                ("flags", "model", "stepping", "microcode",
-                 "vendor_id", "cpu family")
-            )
-        )
-except OSError:
-    _feat = ""
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.expanduser(
-        "~/.cache/transfusion_tpu/jax-cpu-tests/"
-        + hashlib.md5(_feat.encode()).hexdigest()[:10]
+        "~/.cache/transfusion_tpu/jax-cpu-tests/" + cpu_cache_fingerprint()
     ),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

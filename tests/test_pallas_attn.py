@@ -399,3 +399,48 @@ def test_batched_heads_lse_and_offsets(monkeypatch):
     np.testing.assert_allclose(np.asarray(lse_b), np.asarray(lse_k), atol=2e-5)
     for a, b in zip(g_b, g_k):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_use_batched_vmem_gate():
+    """The batched-heads envelope must bound the h-INDEPENDENT [nq, nkv]
+    f32 score temps, not just the per-block operand size: h=1, n=2048,
+    d=64 passes the operand bound (1*2048*64 == _MAX_HND_BATCHED) but its
+    16 MB score matrix OOMs real-TPU VMEM (ADVICE r3, verified via the
+    compile service). TP shards heads, so h=1/h=2 with n>=1024 is
+    reachable in-repo (parallel/context.py)."""
+    import transfusion_tpu.ops.pallas_attn_kernel as K
+
+    # flagship bench shape stays batched, both directions
+    assert K._use_batched(8, 256, 256, 64, bwd=False)
+    assert K._use_batched(8, 256, 256, 64, bwd=True)
+    # the ADVICE repro must NOT route batched (score matrix alone = 16 MB)
+    assert not K._use_batched(1, 2048, 2048, 64, bwd=False)
+    assert not K._use_batched(1, 2048, 2048, 64, bwd=True)
+    # bwd holds s/p/dp/ds simultaneously -> tighter cap than fwd
+    assert K._MAX_SCORE_ELEMS_BWD <= K._MAX_SCORE_ELEMS_FWD
+    n_fwd_edge = 512  # 512*512 == _MAX_SCORE_ELEMS_FWD
+    assert K._use_batched(1, n_fwd_edge, n_fwd_edge, 64, bwd=False)
+    assert not K._use_batched(1, n_fwd_edge, n_fwd_edge, 64, bwd=True)
+    # asymmetric decode-ish shape: tiny nq, long nkv — operand bound governs
+    assert not K._use_batched(1, 8, 16384, 64, bwd=False)
+
+
+def test_h1_long_seq_routes_and_matches_dense():
+    """End-to-end: the h=1 n=1024 shape (previously batched, now blocked)
+    still produces dense-parity results fwd+bwd."""
+    q, k, v = make_qkv(b=1, h=1, n=1024)
+    spans = jnp.array([[[0, 100, 300]]], jnp.int32)
+
+    def f(q, k, v):
+        o = transfusion_flash_attention(
+            q, k, v, spans=spans, causal=True, softcap=50.0
+        )
+        return (o**2).sum(), o
+
+    (_, o_f), g_f = jax.value_and_grad(f, argnums=(0, 1, 2), has_aux=True)(
+        q, k, v
+    )
+    want = _reference_attention(q, k, v, spans, True, 50.0)
+    np.testing.assert_allclose(
+        np.asarray(o_f), np.asarray(want), atol=2e-5
+    )

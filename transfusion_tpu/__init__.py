@@ -19,37 +19,20 @@ if _os.environ.get("TRANSFUSION_JAX_CACHE", "1") != "0":
         _os.path.expanduser("~/.cache/transfusion_tpu/jax"),
     )
     # CPU-backend entries embed XLA:CPU AOT machine code whose cache key
-    # does NOT include host CPU features — an entry written on one machine
-    # loads on another with a "could lead to execution errors such as
-    # SIGILL" warning (observed: 18 cross-host AOT loads with mismatched
-    # +prefer-no-scatter/+amx-* feature sets). Segregate CPU caches per
-    # host fingerprint so machine code never crosses machines; TPU
-    # executables are compiled by the (remote) TPU compiler and are not
-    # host-machine-code, so they keep the shared dir.
+    # does NOT include the host CPU target — an entry written on one
+    # machine loads on another with a "could lead to execution errors such
+    # as SIGILL" warning (cpu_aot_loader.cc). The cache dir is keyed on
+    # cpuinfo identity + the kernel BOOT ID, so cached machine code can
+    # never cross machines by construction (cpuinfo alone proved
+    # insufficient under virtualization — full evidence trail in
+    # utils/hostfp.py). TPU executables are compiled by the (remote) TPU
+    # compiler and are not host machine code, so they keep the shared dir.
     if "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
-        import hashlib as _hashlib
-        import platform as _platform
+        from transfusion_tpu.utils.hostfp import cpu_cache_fingerprint
 
-        try:
-            # flags + model name alone are NOT enough: virtualized hosts
-            # report the generic "Intel(R) Xeon(R) Processor @ 2.10GHz"
-            # with identical flags across CPU generations, while LLVM tunes
-            # codegen by model/stepping (e.g. +prefer-no-gather per the SPR
-            # gather erratum) — observed as a cross-round AOT-load warning
-            # from inside a fingerprinted dir. Include every identity line.
-            with open("/proc/cpuinfo") as _f:
-                _feat = "".join(
-                    ln
-                    for ln in _f
-                    if ln.startswith(
-                        ("flags", "model", "stepping", "microcode",
-                         "vendor_id", "cpu family")
-                    )
-                )
-        except OSError:  # pragma: no cover - non-linux
-            _feat = _platform.processor()
-        _fp = _hashlib.md5(_feat.encode()).hexdigest()[:10]
-        _cache_dir = _os.path.join(_cache_dir + "-cpu", _fp)
+        _cache_dir = _os.path.join(
+            _cache_dir + "-cpu", cpu_cache_fingerprint()
+        )
     try:
         # respect a cache dir configured before import (e.g. tests/conftest)
         if _jax.config.jax_compilation_cache_dir is None:

@@ -357,7 +357,7 @@ def _flash_fwd(q, k, v, spans, causal, softcap, save_lse: bool = False,
     bq = _pick_block(nq, (BQ, 128, 64, 32, 16, 8))
     bk = _pick_block(nkv, (BK, 256, 128, 64, 32, 16, 8))
     streamed = max(nq, nkv) * d > _MAX_N_TIMES_D_RESIDENT
-    batched = not streamed and h * max(nq, nkv) * d <= _MAX_HND_BATCHED
+    batched = not streamed and _use_batched(h, nq, nkv, d, bwd=False)
 
     out_shape = _sds(q.shape, q.dtype, q)
     if batched:
@@ -1082,7 +1082,7 @@ def _bwd(causal, softcap, return_lse, res, g):
     h, nq, d = q.shape[1], q.shape[2], q.shape[3]
     nkv = k.shape[2]
     if (
-        h * max(nq, nkv) * d <= _MAX_HND_BATCHED
+        _use_batched(h, nq, nkv, d, bwd=True)
         and max(nq, nkv) * d <= _MAX_N_TIMES_D_BWD
     ):
         # short-sequence single-kernel backward (grid (b,), heads in-step)
@@ -1176,6 +1176,29 @@ def flash_attention(q, k, v, spans=None, causal=False, softcap=50.0,
 # 32 steps instead of 256 (fwd) / 512 (bwd) at the flagship bench shape,
 # where ~1-3us/step Mosaic overhead made flash lose to dense XLA.
 _MAX_HND_BATCHED = 8 * 256 * 64
+
+# Score-matrix footprint gates for the batched-heads kernels. The operand
+# bound above is per-BLOCK (scales with h) but the [nq, nkv] f32 score
+# temps are h-INDEPENDENT: at h=1, n=2048, d=64 the operand bound passes
+# (1*2048*64 == _MAX_HND_BATCHED) yet s/p alone need 2 x 16 MB and Mosaic
+# fails with 'Ran out of memory in memory space vmem' (verified on TPU).
+# h=1/h=2 shards are realistic in-repo: tensor parallelism divides heads.
+# Forward holds ~3 live [nq,nkv] f32 temps (allowed/s/p) -> cap 256k elems
+# = 3 MB; backward holds s/p/dp/ds + allowed simultaneously -> cap 128k
+# = 2.5 MB. Both comfortably fit beside double-buffered operand blocks.
+_MAX_SCORE_ELEMS_FWD = 256 * 1024
+_MAX_SCORE_ELEMS_BWD = 128 * 1024
+
+
+def _use_batched(h: int, nq: int, nkv: int, d: int, *, bwd: bool) -> bool:
+    """Single routing predicate for the batched-heads (grid (b,)) kernels,
+    shared by `_flash_fwd` and `_bwd` so the two paths cannot drift when the
+    envelope constants are retuned. Bounds BOTH the per-block operand
+    footprint (h-dependent) and the score-matrix temps (h-independent)."""
+    if h * max(nq, nkv) * d > _MAX_HND_BATCHED:
+        return False
+    cap = _MAX_SCORE_ELEMS_BWD if bwd else _MAX_SCORE_ELEMS_FWD
+    return nq * nkv <= cap
 
 # VMEM-resident K/V ceiling (with double buffering Mosaic needs ~4x n*d*4
 # bytes of scoped VMEM): beyond it the forward switches to the grid-streamed
