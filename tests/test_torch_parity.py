@@ -60,13 +60,18 @@ def torch_rope(t, pos, dh):
     return t * cos + rot * sin
 
 
-def torch_forward(params, ids):
-    """Torch twin of core.text_forward for the default config (streams=1)."""
+def torch_forward(params, ids, t=None):
+    """Torch twin of core.text_forward for the default config (streams=1).
+
+    `t` converts a stored weight to a torch tensor; pass a live converter
+    (identity on torch Parameters) to make the twin differentiable for the
+    optimizer-trajectory tests (test_trajectory_parity.py)."""
     p = params["params"]
     core = p
 
-    def t(x):
-        return torch.tensor(np.asarray(x), dtype=torch.float32)
+    if t is None:
+        def t(x):
+            return torch.tensor(np.asarray(x), dtype=torch.float32)
 
     x = t(core["text_embed"]["embedding"])[torch.tensor(np.asarray(ids))]
     b, n, _ = x.shape
@@ -161,7 +166,7 @@ def _ada_out(ada_p, out, cond_gb, is_mod, t):
     return torch.where(sel, out * gate, out * (t(ada_p["layerscale"]) + 1.0))
 
 
-def torch_joint_forward(model, params, packed, noised, times_scalar):
+def torch_joint_forward(model, params, packed, noised, times_scalar, t=None):
     """Torch twin of core.joint for one single-group packed batch."""
     from transfusion_tpu.ops.spans import (
         spans_to_attn_mask,
@@ -172,8 +177,9 @@ def torch_joint_forward(model, params, packed, noised, times_scalar):
 
     core = params["params"]
 
-    def t(x):
-        return torch.tensor(np.asarray(x), dtype=torch.float32)
+    if t is None:
+        def t(x):
+            return torch.tensor(np.asarray(x), dtype=torch.float32)
 
     text = np.asarray(packed.text)
     spans = np.asarray(packed.spans)

@@ -24,7 +24,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-from einops import rearrange
+from einops import rearrange, repeat
 
 from transfusion_tpu.ops.norms import l2norm, softclamp, safe_log, max_neg_value
 from transfusion_tpu.ops.rope import apply_rope
@@ -199,6 +199,75 @@ class Attention(nn.Module):
                 gates_pre = d_gates(x)
 
         q, k = jnp.split(qk, 2, axis=-1)
+
+        # --- fused NHD route (cache-less flash path only): q/k/v stay in
+        # the native post-projection [b, n, h*d] layout and rotary is
+        # applied inside the Pallas batched kernel — eliminating the two
+        # XLA rope passes and the 3-in/1-out head-layout copies that a
+        # pallas_call operand would otherwise force XLA to materialize
+        # (~0.2 ms/layer at the flagship shape; scripts/probe_nhd.py).
+        nhd_route = (
+            self.attn_impl == "flash"
+            and flash_spec is not None
+            and cache is None
+            and decode_bias is None
+        )
+        if nhd_route:
+            from transfusion_tpu.ops.pallas_attn_kernel import nhd_eligible
+
+            nhd_route = nhd_eligible(h, n, dh)
+        if nhd_route:
+            from transfusion_tpu.ops.pallas_attn_kernel import (
+                flash_attention_nhd,
+            )
+
+            orig_v = v  # [b, n, h*d] — consumers route identically, so the
+            # value-residual layout is consistent across the stack
+            if value_residual is not None:
+                if self.learned_value_residual_mix:
+                    mix = repeat(
+                        nn.sigmoid(mix_pre), "b n h -> b n (h d)", d=dh
+                    )
+                else:
+                    mix = 0.5
+                mixed = v * mix + value_residual * (1.0 - mix)
+                v = (
+                    mixed
+                    if value_residual_valid is None
+                    else jnp.where(value_residual_valid, mixed, v)
+                )
+            cos = sin = None
+            if rope is not None:
+                ang = (rope if rope.ndim > 2 else rope[None]).astype(
+                    jnp.float32
+                )
+                ang = jnp.broadcast_to(ang, (b, n, dh))
+                cos, sin = jnp.cos(ang), jnp.sin(ang)
+            v_att = v
+            if self.laser:
+                v_att = jnp.exp(softclamp(v, self.laser_softclamp_value))
+            out = flash_attention_nhd(
+                q,
+                k,
+                v_att,
+                h,
+                cos=cos,
+                sin=sin,
+                spans=flash_spec.get("spans"),
+                causal=flash_spec.get("causal", False),
+                softcap=self.softcap_value,
+            )
+            if self.laser:
+                out = safe_log(out)
+            if self.gate_values:
+                out = out * repeat(
+                    nn.sigmoid(gates_pre), "b n h -> b n (h d)", d=dh
+                )
+            out = nn.Dense(
+                self.dim, use_bias=False, dtype=self.dtype, name="to_out"
+            )(out)
+            return out, orig_v, None
+
         q, k, v = (
             rearrange(t, "b n (h d) -> b h n d", h=h) for t in (q, k, v)
         )

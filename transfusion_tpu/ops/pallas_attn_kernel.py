@@ -1228,3 +1228,318 @@ def supported(n: int, d: int) -> bool:
     if n * d > _MAX_N_TIMES_D:
         return False
     return d in (32, 64, 128, 256)
+
+
+# ---------------------------------------------------------------------------
+# NHD (heads-last) batched kernels with fused RoPE
+# ---------------------------------------------------------------------------
+# The flagship training shape (b=32, h=8, n=256, d=64) is occupancy-bound:
+# per layer, XLA spends ~0.1 ms applying rotary to q/k (two full HBM passes)
+# and materializes three `b n (h d) -> b h n d` layout copies + one inverse
+# purely to feed the head-major kernel (a pallas_call operand cannot fuse
+# with the transpose that produces it). These kernels accept the NATIVE
+# post-projection layout [b, n, h*d] and apply rotary to each head tile
+# in-VMEM (VPU work overlapped with the MXU matmuls), eliminating all of it.
+# Heads are static lane slices of the [n, h*d] block; outputs are written
+# back in the same layout, ready for the output projection.
+#
+# Rotary follows the reference's interleaved convention (rotary-embedding-
+# torch; see ops/rope.py): rotate_half is expressed with two circular lane
+# rolls + an even/odd lane select — the wrapped lanes always land on
+# positions the select discards, and Mosaic lowers rolls to cheap vector
+# shifts instead of gathers.
+
+
+def _rope_tile(x, cs, sn, sign=1.0):
+    """Interleaved rotary on one [n, d] f32 tile; sign=-1 applies the
+    inverse rotation (the adjoint used by the backward kernel)."""
+    left = jnp.roll(x, -1, axis=-1)  # x[2j+1] arrives at lane 2j
+    right = jnp.roll(x, 1, axis=-1)  # x[2j]   arrives at lane 2j+1
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    rot = jnp.where(lane % 2 == 0, -left, right)
+    return x * cs + rot * (sign * sn)
+
+
+def _kernel_batched_nhd(
+    spans_ref,  # i32[b, m, 3] scalar-prefetch (SMEM)
+    q_ref,  # [1, n, h*d]
+    k_ref,  # [1, n, h*d]
+    v_ref,  # [1, n, h*d]
+    cos_ref,  # f32[1, n, d] (or [1, 1, d] dummy when use_rope=False)
+    sin_ref,
+    o_ref,  # [1, n, h*d]
+    *,
+    use_spans: bool,
+    softcap: float,
+    num_spans: int,
+    scale: float,
+    h: int,
+    d: int,
+    n: int,
+    use_rope: bool,
+):
+    """NHD twin of `_kernel_batched_heads`: grid (b,), all heads of one
+    batch row per grid step, full [n, n] score matrix in VMEM, heads taken
+    as lane slices of the [n, h*d] operand blocks, rotary fused."""
+    b = pl.program_id(0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    allowed = _span_allowed(
+        spans_ref, b, rows, cols, rows >= cols,
+        use_spans=use_spans, num_spans=num_spans,
+    )
+    # rope applied FULL-WIDTH in one pass: rotation pairs (2j, 2j+1) never
+    # straddle head boundaries (d is even), so lane-tiled cos/sin make the
+    # roll trick correct across all h*d lanes at full register width —
+    # 8x better VPU utilization than per-head [n, d] tiles (measured)
+    if use_rope:
+        cs = jnp.tile(cos_ref[0], (1, h))  # [n, h*d]
+        sn = jnp.tile(sin_ref[0], (1, h))
+        qf = _rope_tile(q_ref[0].astype(jnp.float32), cs, sn).astype(
+            q_ref.dtype
+        )
+        kf = _rope_tile(k_ref[0].astype(jnp.float32), cs, sn).astype(
+            k_ref.dtype
+        )
+    else:
+        qf, kf = q_ref[0], k_ref[0]
+    o_parts = []
+    for ih in range(h):  # static unroll — h is a Python int
+        sl = slice(ih * d, (ih + 1) * d)
+        q_h = qf[:, sl]
+        k_h = kf[:, sl]
+        s = jax.lax.dot_general(
+            q_h * jnp.asarray(scale, q_h.dtype), k_h,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [n, n]
+        if softcap > 0:
+            s = jnp.tanh(s / softcap) * softcap
+        s = jnp.where(allowed, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        # fully-masked rows: out must be 0 (see _kernel_batched_heads)
+        p = jnp.where(m > 0.5 * NEG_INF, jnp.exp(s - m), 0.0)
+        l_safe = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+        v_h = v_ref[0, :, sl]
+        acc = jax.lax.dot_general(
+            p.astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_parts.append(acc / l_safe)
+    # one full-width store instead of h lane-sliced stores
+    o_ref[0] = jnp.concatenate(o_parts, axis=-1).astype(o_ref.dtype)
+
+
+def _bwd_kernel_batched_nhd(
+    spans_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, do_ref,
+    dq_ref, dk_ref, dv_ref,
+    *, use_spans, softcap, num_spans, scale, h, d, n, use_rope,
+):
+    """NHD backward: recomputes the softmax from scratch (no saved lse —
+    at these sizes the full score matrix is resident anyway, and skipping
+    the lse round-trip saves an HBM store+load), chains the softcap
+    (ds *= 1 - (s/cap)^2), computes delta = rowsum(do*o) in-kernel, and
+    un-rotates dq/dk with the inverse rotary before storing."""
+    b = pl.program_id(0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    allowed = _span_allowed(
+        spans_ref, b, rows, cols, rows >= cols,
+        use_spans=use_spans, num_spans=num_spans,
+    )
+    # full-width rope in/out (see _kernel_batched_nhd)
+    if use_rope:
+        cs = jnp.tile(cos_ref[0], (1, h))
+        sn = jnp.tile(sin_ref[0], (1, h))
+        qf = _rope_tile(q_ref[0].astype(jnp.float32), cs, sn).astype(
+            q_ref.dtype
+        )
+        kf = _rope_tile(k_ref[0].astype(jnp.float32), cs, sn).astype(
+            k_ref.dtype
+        )
+    else:
+        qf, kf = q_ref[0], k_ref[0]
+    dq_parts, dk_parts, dv_parts = [], [], []
+    for ih in range(h):  # static unroll
+        sl = slice(ih * d, (ih + 1) * d)
+        q_h = qf[:, sl].astype(jnp.float32) * scale
+        k_h = kf[:, sl].astype(jnp.float32)
+        v_h = v_ref[0, :, sl].astype(jnp.float32)
+        o_h = o_ref[0, :, sl].astype(jnp.float32)
+        do_h = do_ref[0, :, sl].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q_h, k_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if softcap > 0:
+            s = jnp.tanh(s / softcap) * softcap
+        sm = jnp.where(allowed, s, NEG_INF)
+        m = jnp.max(sm, axis=-1, keepdims=True)
+        p_un = jnp.where(m > 0.5 * NEG_INF, jnp.exp(sm - m), 0.0)
+        l_safe = jnp.maximum(jnp.sum(p_un, axis=-1, keepdims=True), 1e-30)
+        p = p_un / l_safe
+
+        delta = jnp.sum(do_h * o_h, axis=-1, keepdims=True)  # [n, 1]
+        dv = jax.lax.dot_general(
+            p, do_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do_h, v_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        if softcap > 0:
+            ds = ds * (1.0 - (s / softcap) ** 2)
+        dk = jax.lax.dot_general(
+            ds, q_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq = jax.lax.dot_general(
+            ds, k_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dq_parts.append(dq)
+        dk_parts.append(dk)
+        dv_parts.append(dv)
+    dq_f = jnp.concatenate(dq_parts, axis=-1)
+    dk_f = jnp.concatenate(dk_parts, axis=-1)
+    if use_rope:  # un-rotate full-width (inverse rotation = negated sin)
+        dq_f = _rope_tile(dq_f, cs, sn, sign=-1.0)
+        dk_f = _rope_tile(dk_f, cs, sn, sign=-1.0)
+    dq_ref[0] = dq_f.astype(dq_ref.dtype)
+    dk_ref[0] = dk_f.astype(dk_ref.dtype)
+    dv_ref[0] = jnp.concatenate(dv_parts, axis=-1).astype(dv_ref.dtype)
+
+
+def nhd_eligible(h: int, n: int, d: int) -> bool:
+    """Can (h, n, d) take the fused NHD batched path (fwd AND bwd)?
+
+    Requires lane-sliceable head tiles (d % 64, h*d % 128), a full-block-
+    legal sequence (n % 8), and the stricter (backward) batched-heads
+    envelope — this path has no blocked/streamed variant; callers fall back
+    to the head-major kernels (with XLA-side rope/transposes) outside it."""
+    hd = h * d
+    return (
+        d % 64 == 0
+        and hd % 128 == 0
+        and n % 8 == 0
+        and n >= 8
+        and _use_batched(h, n, n, d, bwd=True)
+        and max(n, n) * d <= _MAX_N_TIMES_D_BWD
+    )
+
+
+def _nhd_pallas(q, k, v, cos, sin, spans, h, softcap, use_rope, bwd_args=None):
+    b, n, hd = q.shape
+    d = hd // h
+    use_spans = spans is not None
+    if spans is None:
+        spans = jnp.zeros((b, 1, 3), jnp.int32)
+    m = spans.shape[1]
+    common = dict(
+        use_spans=use_spans, softcap=float(softcap), num_spans=m,
+        scale=d**-0.5, h=h, d=d, n=n, use_rope=use_rope,
+    )
+    row3 = lambda shape: pl.BlockSpec(shape, lambda b, *_: (b, 0, 0))
+    nc = cos.shape[1]
+    interpret = jax.default_backend() == "cpu"
+    if bwd_args is None:
+        return pl.pallas_call(
+            functools.partial(_kernel_batched_nhd, **common),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b,),
+                in_specs=[
+                    row3((1, n, hd)),  # q
+                    row3((1, n, hd)),  # k
+                    row3((1, n, hd)),  # v
+                    row3((1, nc, d)),  # cos
+                    row3((1, nc, d)),  # sin
+                ],
+                out_specs=row3((1, n, hd)),
+            ),
+            out_shape=_sds(q.shape, q.dtype, q),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)
+            ),
+        )(spans.astype(jnp.int32), q, k, v, cos, sin)
+    o, g = bwd_args
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_batched_nhd, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[
+                row3((1, n, hd)),  # q
+                row3((1, n, hd)),  # k
+                row3((1, n, hd)),  # v
+                row3((1, nc, d)),  # cos
+                row3((1, nc, d)),  # sin
+                row3((1, n, hd)),  # o
+                row3((1, n, hd)),  # do
+            ],
+            out_specs=(
+                row3((1, n, hd)),
+                row3((1, n, hd)),
+                row3((1, n, hd)),
+            ),
+        ),
+        out_shape=(
+            _sds(q.shape, q.dtype, q),
+            _sds(k.shape, k.dtype, k),
+            _sds(v.shape, v.dtype, v),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+    )(spans.astype(jnp.int32), q, k, v, cos, sin, o, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _nhd_core(q, k, v, cos, sin, spans, h, softcap, use_rope):
+    return _nhd_pallas(q, k, v, cos, sin, spans, h, softcap, use_rope)
+
+
+def _nhd_fwd(q, k, v, cos, sin, spans, h, softcap, use_rope):
+    out = _nhd_pallas(q, k, v, cos, sin, spans, h, softcap, use_rope)
+    return out, (q, k, v, cos, sin, spans, out)
+
+
+def _nhd_bwd(h, softcap, use_rope, res, g):
+    q, k, v, cos, sin, spans, o = res
+    dq, dk, dv = _nhd_pallas(
+        q, k, v, cos, sin, spans, h, softcap, use_rope, bwd_args=(o, g)
+    )
+    # cos/sin derive from integer positions — their cotangent chain is dead
+    # upstream, so the zeros are DCE'd by XLA
+    return dq, dk, dv, jnp.zeros_like(cos), jnp.zeros_like(sin), None
+
+
+_nhd_core.defvjp(_nhd_fwd, _nhd_bwd)
+
+
+def flash_attention_nhd(q, k, v, h, cos=None, sin=None, spans=None,
+                        causal=False, softcap=50.0):
+    """Fused-layout flash attention: q, k, v in [b, n, h*d] (the native
+    post-projection layout), rotary applied in-kernel from cos/sin
+    Float[b, n, d] (None = no rotary). Returns out [b, n, h*d].
+
+    Callers must check `nhd_eligible(h, n, d)` first; this asserts it.
+    Mask semantics identical to `flash_attention` (causal | spans, tanh
+    softcap) — parity-tested against the dense oracle + XLA rope."""
+    b, n, hd = q.shape
+    d = hd // h
+    assert nhd_eligible(h, n, d), (h, n, d)
+    assert causal or spans is not None, "nhd path requires causal and/or spans"
+    use_rope = cos is not None
+    if not use_rope:
+        cos = jnp.ones((b, 1, d), jnp.float32)
+        sin = jnp.zeros((b, 1, d), jnp.float32)
+    return _nhd_core(
+        q, k, v, cos.astype(jnp.float32), sin.astype(jnp.float32),
+        spans, h, softcap, use_rope,
+    )
