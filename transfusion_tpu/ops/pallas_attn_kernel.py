@@ -1419,7 +1419,13 @@ def nhd_eligible(h: int, n: int, d: int) -> bool:
     Requires lane-sliceable head tiles (d % 64, h*d % 128), a full-block-
     legal sequence (n % 8), and the stricter (backward) batched-heads
     envelope — this path has no blocked/streamed variant; callers fall back
-    to the head-major kernels (with XLA-side rope/transposes) outside it."""
+    to the head-major kernels (with XLA-side rope/transposes) outside it.
+
+    TRANSFUSION_DISABLE_NHD=1 disables the route (A/B benching, debug)."""
+    import os
+
+    if os.environ.get("TRANSFUSION_DISABLE_NHD") == "1":
+        return False
     hd = h * d
     return (
         d % 64 == 0
