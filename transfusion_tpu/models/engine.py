@@ -30,9 +30,11 @@ Design (TPU-first):
   emitted prefix.
 
 Greedy decode (temperature=0) reproduces `generate_text_only` rows
-token-for-token (tested). With temperature > 0 the engine uses one rng
-stream across the pool, so samples differ from a solo run of the same
-prompt (same guarantee as any batched sampler).
+token-for-token (tested). With temperature > 0 every slot samples from its
+own fold-in stream — token i of request `rid` uses
+`fold_in(fold_in(base_rng, rid), i)` — so a request's sampled tokens are a
+pure function of (engine rng, rid, position), REPRODUCIBLE regardless of
+which other requests are co-scheduled or how chunks are sized (tested).
 
 The torch reference has no serving stack at all (its generate_text_only
 re-forwards the full prefix per token, reference transfusion.py:2015-2038).
@@ -187,12 +189,25 @@ class ServingEngine:
         model = self.model
         temperature, min_p = self.temperature, self.min_p
         eos_id = self.eos_id
+        base_rng = self.rng
 
-        def decode(params, cache, last_logits, active, budget_left, rng, k):
+        def sample_row(key, logits_row):
+            return model._sample_text_tok(
+                key, logits_row[None], temperature, min_p
+            )[0]
+
+        def decode(params, cache, last_logits, active, budget_left, seeds,
+                   cnts, k):
             def step(carry, _):
-                cache, last, rng, active, left = carry
-                rng, key = jax.random.split(rng)
-                tok = model._sample_text_tok(key, last, temperature, min_p)
+                cache, last, cnts, active, left = carry
+                # per-slot fold-in stream: reproducible per request no
+                # matter the co-scheduling (see module docstring)
+                keys = jax.vmap(
+                    lambda s, c: jax.random.fold_in(
+                        jax.random.fold_in(base_rng, s), c
+                    )
+                )(seeds, cnts)
+                tok = jax.vmap(sample_row)(keys, last)
                 old_idx = cache["idx"]
                 # inactive slots: fresh positions stay invalid + idx pinned,
                 # so their (still-executed) compute is bit-inert
@@ -213,12 +228,13 @@ class ServingEngine:
                 if eos_id is not None:
                     stop = stop | (tok == eos_id)
                 active_next = active & ~stop
-                return (cache, last, rng, active_next, left_next), (
+                cnts_next = cnts + active.astype(jnp.int32)
+                return (cache, last, cnts_next, active_next, left_next), (
                     tok, active,
                 )
 
-            (cache, last, rng, active, left), (toks, emitted) = jax.lax.scan(
-                step, (cache, last_logits, rng, active, budget_left),
+            (cache, last, cnts, active, left), (toks, emitted) = jax.lax.scan(
+                step, (cache, last_logits, cnts, active, budget_left),
                 None, length=k,
             )
             # ONE host-bound payload: [toks | emitted | final-active] as a
@@ -236,7 +252,7 @@ class ServingEngine:
             return cache, last, payload
 
         self._decode_fn = jax.jit(
-            decode, static_argnums=(6,), donate_argnums=(1, 2)
+            decode, static_argnums=(7,), donate_argnums=(1, 2)
         )
         return self._decode_fn
 
@@ -326,17 +342,21 @@ class ServingEngine:
             return finished
 
         k = self._chunk_len()
-        self.rng, key = jax.random.split(self.rng)
         budget_left = np.zeros(self.max_batch, np.int32)
+        seeds = np.zeros(self.max_batch, np.int32)
+        cnts = np.zeros(self.max_batch, np.int32)
         for s in range(self.max_batch):
             if self.active[s]:
                 budget_left[s] = (
                     self.slots[s].max_new_tokens - len(self.slots[s].tokens)
                 )
+                seeds[s] = self.slots[s].rid
+                cnts[s] = len(self.slots[s].tokens)
         t0 = time.perf_counter()
         self.cache, self.last_logits, payload = self._decode()(
             self.params, self.cache, self.last_logits,
-            jnp.asarray(self.active), jnp.asarray(budget_left), key, k,
+            jnp.asarray(self.active), jnp.asarray(budget_left),
+            jnp.asarray(seeds), jnp.asarray(cnts), k,
         )
         payload = np.asarray(payload)  # single device->host fetch
         toks = payload[:, :k]
