@@ -85,11 +85,14 @@ def reference_forward(t, stacked, x, cond, mask, M):
 
 
 def simple_head(target):
-    """head contribution = sum((out - target_mb)^2) / B; aux = per-mb sse."""
+    """head contribution = sum((out - target_mb)^2) / B; aux = per-mb sse.
 
-    def head_fn(head_params, head_data, out_mb, f):
-        mb = out_mb.shape[0]
-        tgt = jax.lax.dynamic_slice_in_dim(head_data["target"], f * mb, mb)
+    `out_mb` may hold only the LOCAL rows of microbatch f (data-sharded
+    1F1B); `row0` is the global batch row of its first row."""
+
+    def head_fn(head_params, head_data, out_mb, f, row0):
+        mb_l = out_mb.shape[0]
+        tgt = jax.lax.dynamic_slice_in_dim(head_data["target"], row0, mb_l)
         w = head_params["w"]
         diff = out_mb * w - tgt
         sse = jnp.sum(diff.astype(jnp.float32) ** 2)
@@ -98,13 +101,14 @@ def simple_head(target):
     return head_fn
 
 
+@pytest.mark.parametrize("dp", [1, 2])
 @pytest.mark.parametrize("use_cond", [False, True])
-def test_1f1b_matches_unpipelined(use_cond):
+def test_1f1b_matches_unpipelined(use_cond, dp):
     t = tiny_transformer()
     key = jax.random.PRNGKey(0)
     stacked, _ = init_stacked(t, key)
-    mesh = make_mesh(pipe=4)
-    M = 8
+    mesh = make_mesh(data=dp, pipe=4) if dp > 1 else make_mesh(pipe=4)
+    M = 8 if dp == 1 else 4  # dp=2: mb=2 global rows, 1 local row/device
     mb = B // M
 
     x = jax.random.normal(jax.random.PRNGKey(1), (B, N, DIM))
@@ -133,7 +137,10 @@ def test_1f1b_matches_unpipelined(use_cond):
         outs = reference_forward(t, stacked, x, cond, mask, M)
         total = jnp.zeros(())
         for f in range(M):
-            c, _ = head_fn(head_params, head_data, outs[f], jnp.int32(f))
+            c, _ = head_fn(
+                head_params, head_data, outs[f], jnp.int32(f),
+                jnp.int32(f * mb),
+            )
             total = total + c
         return total
 
@@ -200,7 +207,10 @@ def test_1f1b_custom_vjp_composes():
         outs = reference_forward(t, stacked, x, None, None, M)
         total = jnp.zeros(())
         for i in range(M):
-            c, _ = head_fn(head_params, head_data, outs[i], jnp.int32(i))
+            c, _ = head_fn(
+                head_params, head_data, outs[i], jnp.int32(i),
+                jnp.int32(i * (B // M)),
+            )
             total = total + c
         return total
 

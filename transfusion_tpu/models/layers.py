@@ -30,6 +30,24 @@ from transfusion_tpu.ops.norms import l2norm, softclamp, safe_log, max_neg_value
 from transfusion_tpu.ops.rope import apply_rope
 
 
+def attention_uses_nhd(attn_impl, *, has_flash_spec, has_cache,
+                       has_decode_bias, h, n, d):
+    """THE routing predicate for the fused NHD attention path — shared by
+    `Attention.__call__` and the pipeline engines, which must size their
+    value-residual carry in the layout the attention will produce:
+    [b, n, h*d] on the NHD route, [b, h, n, d] otherwise."""
+    if (
+        attn_impl != "flash"
+        or not has_flash_spec
+        or has_cache
+        or has_decode_bias
+    ):
+        return False
+    from transfusion_tpu.ops.pallas_attn_kernel import nhd_eligible
+
+    return nhd_eligible(h, n, d)
+
+
 def random_fourier_embed(times, dim: int, seed: int = 0, weights=None):
     """[times, sin(2pi f t), cos(2pi f t)] with fixed random frequencies.
 
@@ -206,16 +224,15 @@ class Attention(nn.Module):
         # XLA rope passes and the 3-in/1-out head-layout copies that a
         # pallas_call operand would otherwise force XLA to materialize
         # (~0.2 ms/layer at the flagship shape; scripts/probe_nhd.py).
-        nhd_route = (
-            self.attn_impl == "flash"
-            and flash_spec is not None
-            and cache is None
-            and decode_bias is None
+        nhd_route = attention_uses_nhd(
+            self.attn_impl,
+            has_flash_spec=flash_spec is not None,
+            has_cache=cache is not None,
+            has_decode_bias=decode_bias is not None,
+            h=h,
+            n=n,
+            d=dh,
         )
-        if nhd_route:
-            from transfusion_tpu.ops.pallas_attn_kernel import nhd_eligible
-
-            nhd_route = nhd_eligible(h, n, dh)
         if nhd_route:
             from transfusion_tpu.ops.pallas_attn_kernel import (
                 flash_attention_nhd,

@@ -246,16 +246,19 @@ def joint_loss_1f1b(
     ce_chunk = model.ce_chunk_size
     has_recon = model.has_recon_loss
 
-    def head_fn(hp, hd, out_mb, f):
+    def head_fn(hp, hd, out_mb, f, row0):
         # final RMSNorm (transformer.py:606) then back to the trunk dtype —
-        # the schedule hands the last stage's output up in f32
+        # the schedule hands the last stage's output up in f32.
+        # `out_mb` holds the LOCAL rows of microbatch f (the 'data' shard);
+        # `row0` is the global batch row of its first row — head_data stays
+        # replicated and each device slices its own window.
         embed = (
             l2norm(out_mb) * (dim**0.5) * (hp["gamma"] + 1.0)
         ).astype(dtype)
-        row0 = f * mb
+        mb_l = out_mb.shape[0]
 
-        labels_mb = jax.lax.dynamic_slice_in_dim(hd["labels"], row0, mb, 0)
-        valid_mb = jax.lax.dynamic_slice_in_dim(hd["valid"], row0, mb, 0)
+        labels_mb = jax.lax.dynamic_slice_in_dim(hd["labels"], row0, mb_l, 0)
+        valid_mb = jax.lax.dynamic_slice_in_dim(hd["valid"], row0, mb_l, 0)
         W = hp["core"]["params"]["to_text_logits"]["kernel"]
         ce = _ce_sum(W, embed, labels_mb, valid_mb, ce_chunk, dtype)
         contrib = ce * hd["ce_scale"]
@@ -265,8 +268,10 @@ def joint_loss_1f1b(
         recon_sum = jnp.zeros((T,))
         for gi, mtype, L, seq_shape in groups_static:
             gd = hd["groups"][gi]
-            in_mb = ((gd["batch_idx"] // mb) == f).astype(jnp.float32)
-            local = jnp.clip(gd["batch_idx"] - row0, 0, mb - 1)
+            in_mb = (
+                (gd["batch_idx"] >= row0) & (gd["batch_idx"] < row0 + mb_l)
+            ).astype(jnp.float32)
+            local = jnp.clip(gd["batch_idx"] - row0, 0, mb_l - 1)
             idx = gd["offsets"][:, None] + jnp.arange(L)[None, :]
             out_rows = embed[local[:, None], idx]  # [k, L, dim]
             if out_clean:

@@ -203,6 +203,20 @@ def pipeline_blocks(
     block = _canonical_block(transformer, flash_causal=flash_causal)
     use_flash = flash_spans is not None or flash_causal
 
+    # the value-residual carry must match the layout the attention will
+    # produce: [mb, n, h*d] when the fused NHD route is active (shared
+    # predicate — models/layers.attention_uses_nhd), else [mb, h, n, d]
+    from transfusion_tpu.models.layers import attention_uses_nhd
+
+    _nhd = attention_uses_nhd(
+        getattr(transformer, "attn_impl", "dense"),
+        has_flash_spec=use_flash, has_cache=False, has_decode_bias=False,
+        h=h, n=n, d=dh,
+    )
+
+    def vres_shape(mb_rows):
+        return (mb_rows, n, h * dh) if _nhd else (mb_rows, h, n, dh)
+
     def split_mb(a):
         return None if a is None else a.reshape(M, mb, *a.shape[1:])
 
@@ -272,7 +286,7 @@ def pipeline_blocks(
         T = M + pipe - 1
         mb_loc = x_mb.shape[1]  # local microbatch rows (data axis sharded)
         state = jnp.zeros((mb_loc, n, dim), x_mb.dtype)
-        vres = jnp.zeros((mb_loc, h, n, dh), x_mb.dtype)
+        vres = jnp.zeros(vres_shape(mb_loc), x_mb.dtype)
         valid = jnp.zeros((), jnp.float32)
         outs = jnp.zeros((M, mb_loc, n, dim), x_mb.dtype)
         # the carried payload becomes varying over 'pipe' (rank-dependent

@@ -40,9 +40,10 @@ TPU-first design notes:
 Constraints inherited from the GPipe engine: unet_skips=False,
 num_residual_streams=1, dropout=0 (the backward recompute must be
 deterministic), depth % pipe == 0, batch % microbatches == 0,
-microbatches >= pipe. This v1 engine pipelines over 'pipe' only — run it
-with the other mesh axes at size 1 (the GPipe path remains available for
-data x pipe meshes).
+microbatches >= pipe. The schedule composes with DATA parallelism (r4):
+each microbatch's rows shard over the mesh's 'data' axis inside the
+shard_map (stage compute and the loss head see local rows; grads/loss are
+psum'd over 'data'); tensor/context axes remain out of scope here.
 """
 
 from __future__ import annotations
@@ -88,8 +89,9 @@ def pipeline_1f1b_grads(
     mesh: Mesh,
     microbatches: int,
     x,  # Float[b, n, dim] trunk input
-    head_fn,  # (head_params, head_data, out_mb [mb,n,dim], f) ->
-    #           (loss_contrib scalar, aux pytree of fixed-shape arrays)
+    head_fn,  # (head_params, head_data, out_mb [mb_local,n,dim], f, row0)
+    #           -> (loss_contrib scalar, aux pytree of fixed-shape arrays);
+    #           row0 = global batch row of out_mb's first row
     head_params,
     head_data,  # pytree of constants (labels, group targets, normalizers…)
     cond=None,  # Float[b, I|1, 4*dim] | None — differentiated
@@ -109,23 +111,38 @@ def pipeline_1f1b_grads(
     assert "pipe" in mesh.axis_names, "mesh needs a 'pipe' axis (make_mesh)"
     pipe = mesh.shape["pipe"]
     for ax, size in mesh.shape.items():
-        assert ax == "pipe" or size == 1, (
-            "the 1F1B engine pipelines over 'pipe' only — other mesh axes "
-            f"must be size 1 (got {ax}={size}); use the GPipe schedule for "
-            "data x pipe meshes"
+        assert ax in ("pipe", "data") or size == 1, (
+            "the 1F1B engine pipelines over 'pipe' and shards rows over "
+            f"'data' only — axis {ax}={size} must be size 1"
         )
+    dp = mesh.shape.get("data", 1)
+    data_ax = "data" if dp > 1 else None
     depth = transformer.depth
     assert depth % pipe == 0, f"depth {depth} % pipe {pipe} != 0"
     b, n, dim = x.shape
     M = microbatches
     assert b % M == 0, f"batch {b} % microbatches {M} != 0"
     assert M >= pipe, f"microbatches {M} must be >= pipe {pipe}"
-    mb = b // M
+    mb = b // M  # GLOBAL rows per microbatch
+    assert mb % dp == 0, f"microbatch rows {mb} % data axis {dp} != 0"
     h, dh = transformer.heads, transformer.dim_head
     has_cond = cond is not None
 
     block = _canonical_block(transformer, flash_causal=flash_causal)
     use_flash = flash_spans is not None or flash_causal
+
+    # value-residual carry layout must match what the attention produces
+    # (fused NHD route: [mb, n, h*d]; see models/layers.attention_uses_nhd)
+    from transfusion_tpu.models.layers import attention_uses_nhd
+
+    _nhd = attention_uses_nhd(
+        getattr(transformer, "attn_impl", "dense"),
+        has_flash_spec=use_flash, has_cache=False, has_decode_bias=False,
+        h=h, n=n, d=dh,
+    )
+
+    def vres_shape(rows):
+        return (rows, n, h * dh) if _nhd else (rows, h, n, dh)
 
     aux_nd = {
         "cond_index": _split_mb(cond_index, M),
@@ -193,21 +210,23 @@ def pipeline_1f1b_grads(
         rank = jax.lax.axis_index("pipe")
         is0 = rank == 0
         is_last = rank == pipe - 1
+        mb_l = x_mb.shape[1]  # LOCAL microbatch rows ('data'-sharded)
+        data_rank = jax.lax.axis_index("data") if data_ax else 0
         nd_full = dict(zip(nd_names, nd_in))
         perm_fwd = [(i, (i + 1) % pipe) for i in range(pipe)]
         perm_bwd = [(i, (i - 1) % pipe) for i in range(pipe)]
 
         # forward carries
-        state = jnp.zeros((mb, n, dim), x_mb.dtype)
-        vres = jnp.zeros((mb, h, n, dh), x_mb.dtype)
+        state = jnp.zeros((mb_l, n, dim), x_mb.dtype)
+        vres = jnp.zeros(vres_shape(mb_l), x_mb.dtype)
         valid = jnp.zeros((), jnp.float32)
         # backward carries (cotangents of this rank's OUTPUT carries)
-        dstate = jnp.zeros((mb, n, dim), jnp.float32)
-        dvres = jnp.zeros((mb, h, n, dh), jnp.float32)
+        dstate = jnp.zeros((mb_l, n, dim), jnp.float32)
+        dvres = jnp.zeros(vres_shape(mb_l), jnp.float32)
 
         # ring buffer of stage INPUTS (the only forward residuals kept)
-        buf_state = jnp.zeros((W, mb, n, dim), x_mb.dtype)
-        buf_vres = jnp.zeros((W, mb, h, n, dh), x_mb.dtype)
+        buf_state = jnp.zeros((W, mb_l, n, dim), x_mb.dtype)
+        buf_vres = jnp.zeros((W,) + vres_shape(mb_l), x_mb.dtype)
         buf_valid = jnp.zeros((W,), jnp.float32)
 
         # accumulators
@@ -215,9 +234,9 @@ def pipeline_1f1b_grads(
         aux_acc = None  # shaped by the first head call
         dstacked = _f32_zeros_like_tree(stacked_local)
         dhead = _f32_zeros_like_tree(head_params)
-        dx_acc = jnp.zeros((M, mb, n, dim), jnp.float32)
+        dx_acc = jnp.zeros((M, mb_l, n, dim), jnp.float32)
         dcond_acc = (
-            jnp.zeros((M, mb) + cond.shape[1:], jnp.float32)
+            jnp.zeros((M, mb_l) + cond.shape[1:], jnp.float32)
             if has_cond
             else None
         )
@@ -255,9 +274,10 @@ def pipeline_1f1b_grads(
             head_seed = None
             if 0 <= f_out < M:
                 f_idx = jnp.asarray(f_out, jnp.int32)
+                row0 = f_idx * mb + data_rank * mb_l
 
-                def head_call(hp, out_mb, f_idx=f_idx):
-                    return head_fn(hp, head_data, out_mb, f_idx)
+                def head_call(hp, out_mb, f_idx=f_idx, row0=row0):
+                    return head_fn(hp, head_data, out_mb, f_idx, row0)
 
                 contrib, head_vjp, haux = jax.vjp(
                     head_call, head_params, state.astype(jnp.float32),
@@ -374,38 +394,44 @@ def pipeline_1f1b_grads(
                 dvres = jax.lax.ppermute(dvres, "pipe", perm_bwd)
 
         # ---- reductions --------------------------------------------------
-        loss = jax.lax.psum(loss_acc, "pipe")
-        aux = jax.tree.map(lambda l: jax.lax.psum(l, "pipe"), aux_acc)
-        dhead = jax.tree.map(lambda l: jax.lax.psum(l, "pipe"), dhead)
+        red = ("pipe", "data") if data_ax else ("pipe",)
+        loss = jax.lax.psum(loss_acc, red)
+        aux = jax.tree.map(lambda l: jax.lax.psum(l, red), aux_acc)
+        dhead = jax.tree.map(lambda l: jax.lax.psum(l, red), dhead)
+        if data_ax:  # stage grads: partial over this shard's rows
+            dstacked = jax.tree.map(
+                lambda l: jax.lax.psum(l, "data"), dstacked
+            )
+        # dx/dcond stay [M, mb_l, ...] sharded over 'data' (reassembled by
+        # the out_specs, reshaped to [b, ...] outside the shard_map)
         dx = jax.lax.psum(
             jnp.where(is0, dx_acc, jnp.zeros_like(dx_acc)), "pipe"
-        ).reshape(b, n, dim)
+        )
         outs = [loss, aux, dstacked, dx]
         if has_cond:
-            outs.append(
-                jax.lax.psum(dcond_acc, "pipe").reshape(
-                    (b,) + cond.shape[1:]
-                )
-            )
+            outs.append(jax.lax.psum(dcond_acc, "pipe"))
         outs.append(dhead)
         return tuple(outs)
 
+    def mb_sharded(a):
+        return P(None, data_ax, *([None] * (a.ndim - 2)))
+
     in_specs = (
         P("pipe"),  # stacked (prefix spec for the whole tree)
-        P(),  # x_mb (P() = fully replicated at any rank, incl. scalars)
-        P(),  # cond
-        P(),  # head_params
-        P(),  # head_data
-        *[P() for _ in nd_arrays],
+        mb_sharded(x_mb),  # x_mb [M, mb, n, dim] — rows sharded over data
+        mb_sharded(c_arr) if has_cond else P(),  # cond
+        P(),  # head_params (replicated; P() covers scalar leaves too)
+        P(),  # head_data (replicated; the head slices its own row window)
+        *[mb_sharded(a) for a in nd_arrays],
     )
     out_specs = [
         P(),  # loss
         P(),  # aux (prefix)
         P("pipe"),  # dstacked
-        P(),  # dx
+        P(None, data_ax),  # dx [M, mb, n, dim]
     ]
     if has_cond:
-        out_specs.append(P())  # dcond
+        out_specs.append(P(None, data_ax))  # dcond
     out_specs.append(P())  # dhead
     out_specs = tuple(out_specs)
 
@@ -422,6 +448,9 @@ def pipeline_1f1b_grads(
     else:
         loss, aux, dstacked, dx, dhead = res
         dcond = None
+    dx = dx.reshape(b, n, dim)
+    if dcond is not None:
+        dcond = dcond.reshape((b,) + cond.shape[1:])
     return loss, aux, dstacked, dx, dcond, dhead
 
 

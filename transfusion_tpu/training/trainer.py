@@ -55,7 +55,7 @@ class Trainer:
         pipeline_schedule: str = "gpipe",  # 'gpipe' (autodiff through the
         # schedule, composes with data/fsdp/tp axes) | '1f1b' (in-schedule
         # loss + backward, O(pipe) activation memory — parallel/
-        # pipeline_1f1b.py; requires a pipe-only mesh)
+        # pipeline_1f1b.py; composes with 'data' x 'pipe' meshes)
     ):
         self.model = model
         self.mesh = mesh
@@ -127,12 +127,12 @@ class Trainer:
             bad = [
                 f"{ax}={sz}"
                 for ax, sz in self.mesh.shape.items()
-                if ax != "pipe" and sz > 1
+                if ax not in ("pipe", "data") and sz > 1
             ]
             assert not bad, (
-                "the 1F1B schedule pipelines over 'pipe' only — other mesh "
-                f"axes must be size 1 (got {', '.join(bad)}); use "
-                "pipeline_schedule='gpipe' for data x pipe meshes"
+                "the 1F1B schedule supports 'pipe' (+ optional 'data') "
+                f"mesh axes only (got {', '.join(bad)}); use "
+                "pipeline_schedule='gpipe' for fsdp/tensor x pipe meshes"
             )
 
     def init_state(self, rng) -> TrainState:
