@@ -89,7 +89,10 @@ def main():
 
     eng2 = make_engine()
     # jitted fns close over the engine instance — share the compiled ones
+    # (and the warm dispatch-cost samples, so the chunk chooser starts
+    # from the measured RTT/step rather than priors)
     eng2._admit_fns, eng2._decode_fn = eng._admit_fns, eng._decode_fn
+    eng2._chunk_samples = {k: list(v) for k, v in eng._chunk_samples.items()}
     for p, b in zip(prompts, budgets):
         eng2.submit(p, int(b))
     t0 = time.perf_counter()
@@ -131,12 +134,14 @@ def main():
 
     e3 = make_engine()
     e3._admit_fns, e3._decode_fn = eng._admit_fns, eng._decode_fn
+    e3._chunk_samples = {k: list(v) for k, v in eng2._chunk_samples.items()}
     for p, b in zip(prompts2, budgets2):
         e3.submit(p, int(b))
     e3.run()  # compile any new (width, nb)/k combos
 
     e4 = make_engine()
     e4._admit_fns, e4._decode_fn = e3._admit_fns, e3._decode_fn
+    e4._chunk_samples = {k: list(v) for k, v in e3._chunk_samples.items()}
     for p, b in zip(prompts2, budgets2):
         e4.submit(p, int(b))
     t0 = time.perf_counter()

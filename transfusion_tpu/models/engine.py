@@ -52,6 +52,38 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def choose_chunk(rem, rtt_s: float, step_s: float, max_chunk: int) -> int:
+    """Pick the decode-chunk length maximizing useful tokens per second.
+
+    A chunk of k steps costs `rtt_s + k * step_s` wall-clock (one dispatch
+    + k scan steps; retirement is in-scan so overshooting is safe) and
+    yields `sum_s min(rem_s, k)` useful tokens. The old policy (stop at
+    min(rem) whenever the queue waits) optimizes slot-refill latency but
+    pays one RTT per ~min(rem) tokens — on a mild-skew workload that made
+    the engine LOSE 2x to static batching (docs_evidence.md "Continuous
+    batching", workload A). Maximizing the measured-cost-model rate over
+    the pow2 ladder recovers static-like behavior when dispatches are
+    expensive and keeps admit-promptly behavior when they're cheap or
+    budgets cluster low (workload B picks min(rem) again).
+    """
+    rem = [int(r) for r in rem if r > 0]
+    if not rem:
+        return 1
+    hi = min(max(rem), max_chunk)
+    ladder, k = [], 1
+    while k < hi:
+        ladder.append(k)
+        k <<= 1
+    ladder.append(1 << (hi - 1).bit_length())  # round-up pow2: full drain
+    best_k, best_rate = 1, -1.0
+    for k in ladder:
+        useful = sum(min(r, k) for r in rem)
+        rate = useful / (rtt_s + k * step_s)
+        if rate > best_rate:
+            best_k, best_rate = k, rate
+    return min(best_k, 1 << (max_chunk.bit_length() - 1))
+
+
 def _width_bucket(n: int) -> int:
     """Next power-of-two multiple of 128 (same policy as
     generate_text_batch / the uncached sample() loop: O(log max_len)
@@ -123,6 +155,14 @@ class ServingEngine:
         self._decode_fn = None
         self.stats = {"generated_tokens": 0, "decode_chunks": 0,
                       "admitted": 0, "decode_time_s": 0.0}
+        # online dispatch-cost model: per-bucket (k, elapsed) samples; the
+        # FIRST sample of each bucket is excluded (it contains the jit
+        # compile for that static chunk length). Priors are tunnel-TPU-ish;
+        # the fit replaces them once two distinct bucket sizes have clean
+        # samples.
+        self._chunk_samples = {}
+        self._rtt_est = 0.030
+        self._step_est = 0.002
 
     # ------------------------------------------------------------------
     # jitted device functions
@@ -310,27 +350,34 @@ class ServingEngine:
                 self.active[slot] = True
             self.stats["admitted"] += nb
 
+    def _fit_cost_model(self):
+        """Least-squares (rtt, step) from clean chunk timings (first sample
+        per bucket excluded — it contains that bucket's jit compile)."""
+        pts = []
+        for k, ts in self._chunk_samples.items():
+            pts.extend((k, t) for t in ts[1:])
+        if len({k for k, _ in pts}) >= 2 and len(pts) >= 3:
+            ks = np.array([p[0] for p in pts], np.float64)
+            ts = np.array([p[1] for p in pts], np.float64)
+            step, rtt = np.polyfit(ks, ts, 1)
+            if step > 0 and rtt > 0:
+                self._step_est, self._rtt_est = float(step), float(rtt)
+
     def _chunk_len(self) -> int:
-        """Adaptive chunk size, bucketed to powers of two (bounded trace
-        count). Retirement is tracked in-scan, so overshooting a row's end
-        is safe — the choice only trades dispatch count against how long a
-        freed slot idles before the next admission:
-        - queue waiting: stop at the earliest guaranteed retirement
-          (min remaining budget), rounded DOWN, so the queued request is
-          admitted promptly;
-        - queue empty: drain — run to the last row's budget, rounded UP
-          (rows that finish earlier go inert in-scan)."""
+        """Adaptive chunk size via the measured dispatch-cost model
+        (`choose_chunk`): maximize useful tokens/sec given the fitted
+        RTT + k*step cost. Retirement is tracked in-scan, so overshooting a
+        row's end is safe — the choice only trades dispatch count against
+        how long a freed slot idles before the next admission."""
+        self._fit_cost_model()
         rem = [
             self.slots[s].max_new_tokens - len(self.slots[s].tokens)
             for s in range(self.max_batch)
             if self.active[s]
         ]
-        k = min(rem) if self.queue else max(rem)
-        k = max(1, min(k, self.decode_chunk))
-        # always round DOWN: an overshot chunk decodes inert rows at full
-        # cost (measured ~2x tail waste when draining 139 as 256), while an
-        # undershot one only costs an extra ~RTT dispatch
-        return 1 << (k.bit_length() - 1)
+        return choose_chunk(
+            rem, self._rtt_est, self._step_est, self.decode_chunk
+        )
 
     def step(self):
         """One engine tick: admit pending requests into free slots, then
@@ -362,7 +409,9 @@ class ServingEngine:
         toks = payload[:, :k]
         emitted = payload[:, k : 2 * k].astype(bool)
         active_f = payload[:, -1].astype(bool)
-        self.stats["decode_time_s"] += time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
+        self._chunk_samples.setdefault(k, []).append(elapsed)
+        self.stats["decode_time_s"] += elapsed
         self.stats["decode_chunks"] += 1
 
         for slot in range(self.max_batch):
