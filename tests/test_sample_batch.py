@@ -1,0 +1,105 @@
+"""Batched multimodal sampling (models/sample_batch.py): each request's
+output must equal what solo `sample(cache_kv=True)` produces for the same
+prompt — at temperature=0 with pinned modality noise the two paths are the
+same computation, batched vs not (VERDICT r3 #5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transfusion_tpu.models.transfusion import Transfusion
+
+
+def small_model():
+    return Transfusion(
+        num_text_tokens=32,
+        transformer=dict(
+            dim=32, depth=2, dim_head=16, heads=2, attn_impl="dense",
+        ),
+        modality_default_shape=(3,),
+        dim_latent=8,
+        pad_multiple=16,
+        dtype=jnp.float32,
+    )
+
+
+def make_prompts(m):
+    rng = np.random.default_rng(0)
+    # req0: plain text continuation
+    p0 = [rng.integers(0, 32, 5).astype(np.int32)]
+    # req1: forced modality — prompt ends with [som]; shape falls back to
+    # modality_default_shape (no meta digits)
+    p1 = [np.asarray([3, 1, m.som_ids[0]], np.int32)]
+    # req2: modality-conditioned text (modality prompt -> meta+latents+eom)
+    p2 = (0, rng.normal(size=(3, 8)).astype(np.float32))
+    return [p0, p1, p2]
+
+
+def assert_items_equal(a, b, atol):
+    assert len(a) == len(b), (len(a), len(b))
+    for x, y in zip(a, b):
+        if isinstance(x, tuple):
+            assert isinstance(y, tuple) and x[0] == y[0]
+            np.testing.assert_allclose(
+                np.asarray(x[1]), np.asarray(y[1]), atol=atol, rtol=1e-4
+            )
+        else:
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("cfg_scale", [1.0, 3.0])
+def test_sample_batch_matches_solo(cfg_scale):
+    m = small_model()
+    params = m.init_params(jax.random.PRNGKey(0))
+    prompts = make_prompts(m)
+    noise = np.asarray(
+        np.random.default_rng(7).normal(size=(16, 8)), np.float32
+    )
+    kw = dict(
+        max_length=6,
+        text_temperature=0.0,
+        text_min_p=0.0,
+        init_modality_noise=noise,
+        modality_steps=3,
+        cfg_scale=cfg_scale,
+        return_unprocessed_modalities=True,
+    )
+
+    batched = m.sample_batch(
+        params, prompts, rng=jax.random.PRNGKey(1), **kw
+    )
+    assert len(batched) == len(prompts)
+
+    for p, got in zip(prompts, batched):
+        solo = m.sample(
+            params, p, rng=jax.random.PRNGKey(1), cache_kv=True, **kw
+        )
+        assert_items_equal(got, solo, atol=2e-5)
+
+
+def test_sample_batch_reproducible_and_decoded():
+    """temperature>0: per-request fold-in streams make results independent
+    of co-batching; default output path decodes modalities."""
+    m = small_model()
+    params = m.init_params(jax.random.PRNGKey(0))
+    prompts = make_prompts(m)
+    kw = dict(
+        max_length=5, text_temperature=1.0, modality_steps=2,
+        cfg_scale=1.0, return_unprocessed_modalities=True,
+    )
+    a = m.sample_batch(params, prompts, rng=jax.random.PRNGKey(3), **kw)
+    b = m.sample_batch(params, prompts, rng=jax.random.PRNGKey(3), **kw)
+    for x, y in zip(a, b):
+        assert_items_equal(x, y, atol=0)
+
+    # a solo-batched call (R=1) also reproduces request 0's stream
+    c = m.sample_batch(params, prompts[:1], rng=jax.random.PRNGKey(3), **kw)
+    assert_items_equal(a[0], c[0], atol=1e-5)
+
+    # decoded path returns one result per request
+    out = m.sample_batch(
+        params, prompts, rng=jax.random.PRNGKey(3),
+        max_length=4, modality_steps=2, cfg_scale=1.0,
+    )
+    assert len(out) == 3

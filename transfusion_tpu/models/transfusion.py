@@ -1658,40 +1658,10 @@ class Transfusion:
         times_grid = jnp.linspace(0.0, 1.0, steps)
         return odeint(flow, noise, times_grid, method=self.odeint_method)
 
-    def sample(
-        self,
-        params=None,
-        prompt=None,
-        rng=None,
-        max_length: int = 2048,
-        text_temperature: float = 1.5,
-        text_min_p: float = 0.1,
-        cache_kv: bool = False,  # KV-cached fast path: prefill once, then
-        # per-token text decode + tail-only ODE steps (_sample_cached)
-        kv_quantize: Optional[bool] = None,  # with cache_kv: int8 KV cache
-        # (serving — halves cache HBM traffic vs bf16; see make_kv_cache).
-        # None (default) = auto via the measured serving policy
-        # (models/serving.py); an explicit bool forces it
-        fixed_modality_shape: Optional[tuple] = None,
-        init_modality_noise=None,
-        modality_steps: int = 16,
-        return_unprocessed_modalities: bool = False,
-        cfg_scale: float = 3.0,
-        incremental_cfg_cache: bool = True,  # with cache_kv + CFG: maintain
-        # the uncond stream in the same batch-2 cache (no per-modality
-        # O(history) uncond prefill). False = rebuild per segment (the
-        # reference's cost profile; results identical)
-    ):
-        params = default(params, self.params)
-        rng = default(rng, jax.random.PRNGKey(0))
-
-        if self.num_text_tokens == 0:
-            logger.warning(
-                "num_text_tokens == 0 — forwarding to generate_modality_only"
-            )
-            return self.generate_modality_only(params, batch_size=1, rng=rng)
-
-        # ---- normalize prompt (reference :1648-1693) ----
+    def _prompt_to_items(self, prompt) -> list:
+        """Normalize a sample() prompt into the canonical item list
+        ([sos] + text arrays / (type, latents) tuples, contiguous text
+        concatenated) — reference :1648-1693."""
         items: list = []
         if prompt is not None:
             p = prompt
@@ -1725,12 +1695,63 @@ class Transfusion:
                 items = list(p)
 
         sample_items = [np.asarray([self.sos_id], np.int32)] + [
-            it if isinstance(it, tuple) else np.asarray(it).reshape(-1).astype(np.int32)
+            it if isinstance(it, tuple)
+            else np.asarray(it).reshape(-1).astype(np.int32)
             for it in normalize_sample(items)
         ]
         from transfusion_tpu.utils.helpers import concat_contiguous_text
 
-        sample_items = concat_contiguous_text(sample_items)
+        return concat_contiguous_text(sample_items)
+
+    def sample_batch(
+        self,
+        params=None,
+        prompts=None,  # list of sample()-style prompts (one per request)
+        **kwargs,
+    ):
+        """Batched multimodal sampling: run R sample() state machines with
+        shared batched dispatches (models/sample_batch.py). The reference's
+        sample() is strictly batch-1 (transfusion.py:1625-1948)."""
+        from transfusion_tpu.models.sample_batch import sample_batch
+
+        return sample_batch(
+            self, default(params, self.params), prompts, **kwargs
+        )
+
+    def sample(
+        self,
+        params=None,
+        prompt=None,
+        rng=None,
+        max_length: int = 2048,
+        text_temperature: float = 1.5,
+        text_min_p: float = 0.1,
+        cache_kv: bool = False,  # KV-cached fast path: prefill once, then
+        # per-token text decode + tail-only ODE steps (_sample_cached)
+        kv_quantize: Optional[bool] = None,  # with cache_kv: int8 KV cache
+        # (serving — halves cache HBM traffic vs bf16; see make_kv_cache).
+        # None (default) = auto via the measured serving policy
+        # (models/serving.py); an explicit bool forces it
+        fixed_modality_shape: Optional[tuple] = None,
+        init_modality_noise=None,
+        modality_steps: int = 16,
+        return_unprocessed_modalities: bool = False,
+        cfg_scale: float = 3.0,
+        incremental_cfg_cache: bool = True,  # with cache_kv + CFG: maintain
+        # the uncond stream in the same batch-2 cache (no per-modality
+        # O(history) uncond prefill). False = rebuild per segment (the
+        # reference's cost profile; results identical)
+    ):
+        params = default(params, self.params)
+        rng = default(rng, jax.random.PRNGKey(0))
+
+        if self.num_text_tokens == 0:
+            logger.warning(
+                "num_text_tokens == 0 — forwarding to generate_modality_only"
+            )
+            return self.generate_modality_only(params, batch_size=1, rng=rng)
+
+        sample_items = self._prompt_to_items(prompt)
 
         if cache_kv:
             sample_items = self._sample_cached(
