@@ -66,8 +66,10 @@ def main():
     import tempfile
 
     with tempfile.TemporaryDirectory() as d:
-        tr.save(state, d, step=8)
-        restored = tr.restore(d)
+        tr.checkpoint_dir = d
+        tr.save(state)
+        fresh = tr.init_state(jax.random.PRNGKey(9))
+        restored = tr.restore(fresh)
         for a, b in zip(jax.tree.leaves(restored.params),
                         jax.tree.leaves(state.params)):
             np.testing.assert_allclose(np.asarray(a, np.float32),

@@ -83,16 +83,19 @@ def main():
         )
 
     eng = make_engine()
+    eng.warmup()  # compile the full pow2 chunk ladder + clean cost samples
     for p, b in zip(prompts, budgets):
         eng.submit(p, int(b))
-    eng.run()  # compile pass (jits are per-engine instance)
+    eng.run()  # compile pass for admission widths (jits are per-engine)
 
     eng2 = make_engine()
     # jitted fns close over the engine instance — share the compiled ones
     # (and the warm dispatch-cost samples, so the chunk chooser starts
     # from the measured RTT/step rather than priors)
     eng2._admit_fns, eng2._decode_fn = eng._admit_fns, eng._decode_fn
-    eng2._chunk_samples = {k: list(v) for k, v in eng._chunk_samples.items()}
+    eng2._rtt_est, eng2._step_est = eng._rtt_est, eng._step_est
+    eng2._cost_frozen = True  # identical frozen fit -> identical chunk plan
+    # -> identical admission groupings -> zero compiles in the timed run
     for p, b in zip(prompts, budgets):
         eng2.submit(p, int(b))
     t0 = time.perf_counter()
@@ -102,7 +105,8 @@ def main():
     print(f"engine: {got} useful tok in {dt_eng:.2f}s "
           f"({got/dt_eng:.1f} useful tok/s)  "
           f"[{eng2.stats['decode_chunks']} chunks, "
-          f"decode {eng2.stats['decode_time_s']:.2f}s]")
+          f"decode {eng2.stats['decode_time_s']:.2f}s, "
+          f"fit rtt={eng._rtt_est*1e3:.1f}ms step={eng._step_est*1e3:.2f}ms]")
     print(f"speedup: {dt_static/dt_eng:.2f}x")
 
     # --- scenario B: bimodal budgets, deep queue ---------------------------
@@ -134,14 +138,16 @@ def main():
 
     e3 = make_engine()
     e3._admit_fns, e3._decode_fn = eng._admit_fns, eng._decode_fn
-    e3._chunk_samples = {k: list(v) for k, v in eng2._chunk_samples.items()}
+    e3._rtt_est, e3._step_est = eng._rtt_est, eng._step_est
+    e3._cost_frozen = True
     for p, b in zip(prompts2, budgets2):
         e3.submit(p, int(b))
     e3.run()  # compile any new (width, nb)/k combos
 
     e4 = make_engine()
     e4._admit_fns, e4._decode_fn = e3._admit_fns, e3._decode_fn
-    e4._chunk_samples = {k: list(v) for k, v in e3._chunk_samples.items()}
+    e4._rtt_est, e4._step_est = eng._rtt_est, eng._step_est
+    e4._cost_frozen = True
     for p, b in zip(prompts2, budgets2):
         e4.submit(p, int(b))
     t0 = time.perf_counter()
@@ -152,6 +158,33 @@ def main():
           f"({got/dt_e2:.1f} useful tok/s)  "
           f"[{e4.stats['decode_chunks']} chunks]")
     print(f"speedup: {dt_s2/dt_e2:.2f}x")
+
+    # --- auto dispatch (serve(): plan_dispatch from the fitted model) ------
+    from transfusion_tpu.models.serving import plan_dispatch
+
+    for name, (ps, bs, dt_static_ref) in {
+        "A": (prompts, budgets, dt_static),
+        "B": (prompts2, budgets2, dt_s2),
+    }.items():
+        plan = plan_dispatch(
+            [int(b) for b in bs], pool, eng._rtt_est, eng._step_est
+        )
+        e5 = make_engine()
+        e5._admit_fns, e5._decode_fn = eng._admit_fns, eng._decode_fn
+        e5._rtt_est, e5._step_est = eng._rtt_est, eng._step_est
+        e5._cost_frozen = True
+        e5.serve(list(ps), [int(b) for b in bs])  # compile (static leg jits)
+        e6 = make_engine()
+        e6._admit_fns, e6._decode_fn = eng._admit_fns, eng._decode_fn
+        e6._rtt_est, e6._step_est = eng._rtt_est, eng._step_est
+        e6._cost_frozen = True
+        t0 = time.perf_counter()
+        out = e6.serve(list(ps), [int(b) for b in bs])
+        dt_auto = time.perf_counter() - t0
+        useful_n = sum(len(r) for r in out)
+        print(f"auto[{name}] -> {plan}: {useful_n} tok in {dt_auto:.2f}s "
+              f"({useful_n/dt_auto:.1f} tok/s)  "
+              f"vs static {dt_static_ref/dt_auto:.2f}x")
 
 
 if __name__ == "__main__":

@@ -193,3 +193,59 @@ def test_choose_chunk_cost_model():
     # degenerate
     assert choose_chunk([], 0.03, 0.001, 256) == 1
     assert choose_chunk([1], 0.03, 0.001, 256) == 1
+
+
+def test_engine_warmup_is_inert_and_seeds_cost_model():
+    """warmup() compiles the pow2 chunk ladder without touching the pool
+    (all-inert runs), seeds clean cost samples, and a post-warmup run still
+    matches solo greedy decoding."""
+    model = make_model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    eng = ServingEngine(
+        model, params, max_batch=2, max_seq_len=256, decode_chunk=8,
+        temperature=0.0,
+    )
+    idx_before = np.asarray(eng.cache["idx"]).copy()
+    eng.warmup()
+    np.testing.assert_array_equal(np.asarray(eng.cache["idx"]), idx_before)
+    assert not eng.active.any() and eng.stats["generated_tokens"] == 0
+    # one clean sample per pow2 length (plus the excluded first slot)
+    assert sorted(eng._chunk_samples) == [1, 2, 4, 8]
+    assert all(len(v) == 2 and v[0] == 0.0 for v in eng._chunk_samples.values())
+
+    prompt, n_new = [model.sos_id, 1, 2], 6
+    eng.submit(np.asarray(prompt, np.int32), n_new)
+    done = eng.run()
+    assert [r.tokens for r in done] == [
+        solo_greedy(model, params, prompt, n_new)
+    ]
+
+
+def test_serve_auto_dispatch_routes_and_matches_solo(monkeypatch):
+    """serve() picks a path via plan_dispatch and both paths return each
+    prompt's solo greedy tokens in submission order."""
+    import transfusion_tpu.models.serving as serving_mod
+
+    model = make_model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    prompts = [
+        np.asarray([model.sos_id, 1, 2], np.int32),
+        np.asarray([model.sos_id, 3, 4, 5], np.int32),
+        np.asarray([model.sos_id, 2], np.int32),
+    ]
+    budgets = [3, 5, 2]
+    want = [
+        solo_greedy(model, params, p.tolist(), b)
+        for p, b in zip(prompts, budgets)
+    ]
+
+    for force in ("engine", "static"):
+        monkeypatch.setattr(
+            serving_mod, "plan_dispatch", lambda *a, **k: force
+        )
+        eng = ServingEngine(
+            model, params, max_batch=2, max_seq_len=128, decode_chunk=8,
+            temperature=0.0,
+        )
+        got = eng.serve(prompts, budgets)
+        assert got == want, force

@@ -1,6 +1,11 @@
 """Smoke tests for ALL NINE example scripts (reference acceptance configs,
 SURVEY.md §2.6) — tiny step counts, offline data fallbacks, CPU.
 
+Most are marked `slow` (each spawns a full training loop = a pile of cold
+compiles on the 1-core CI host); the default tier keeps train_toy (the
+canonical end-to-end loop) and serve_text (the serving CLI incl. engine).
+Run all nine with `pytest tests/test_examples.py -m ""`.
+
 These catch config regressions the unit tests can't see: LASER attention
 (train_text_only), Muon + velocity consistency (train_image_only), unet
 pre/post projections (train_mnist_with_unet / *_with_unet), recon loss 0.1 +
@@ -34,6 +39,7 @@ def test_train_toy_smoke():
     )
 
 
+@pytest.mark.slow
 def test_train_mnist_smoke(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     run_example(
@@ -42,6 +48,7 @@ def test_train_mnist_smoke(tmp_path, monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_train_latent_only_smoke():
     run_example(
         "train_latent_only.py",
@@ -49,6 +56,7 @@ def test_train_latent_only_smoke():
     )
 
 
+@pytest.mark.slow
 def test_train_text_only_smoke():
     # exercises LASER attention + grad accumulation (ref train_text_only.py)
     run_example(
@@ -57,6 +65,7 @@ def test_train_text_only_smoke():
     )
 
 
+@pytest.mark.slow
 def test_train_mnist_vae_smoke(tmp_path, monkeypatch):
     # two-stage: conv autoencoder pretrain, then transfusion on its latents
     monkeypatch.chdir(tmp_path)
@@ -67,6 +76,7 @@ def test_train_mnist_vae_smoke(tmp_path, monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_train_mnist_with_unet_smoke(tmp_path, monkeypatch):
     # pre_post_transformer_enc_dec conv down/up pair
     monkeypatch.chdir(tmp_path)
@@ -76,6 +86,7 @@ def test_train_mnist_with_unet_smoke(tmp_path, monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_train_image_only_smoke(tmp_path, monkeypatch):
     # Muon optimizer + velocity-consistency vs EMA + recon loss
     monkeypatch.chdir(tmp_path)
@@ -85,6 +96,7 @@ def test_train_image_only_smoke(tmp_path, monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_train_image_only_with_unet_smoke(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     run_example(
@@ -93,6 +105,7 @@ def test_train_image_only_with_unet_smoke(tmp_path, monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_train_latent_with_text_smoke(tmp_path, monkeypatch):
     # recon loss 0.1 + unet projections + CFG sampling via EMA
     monkeypatch.chdir(tmp_path)
@@ -102,6 +115,7 @@ def test_train_latent_with_text_smoke(tmp_path, monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_train_distributed_smoke(tmp_path, monkeypatch):
     # dp x fsdp x tp mesh auto-factored over the 8 virtual devices
     monkeypatch.chdir(tmp_path)
@@ -111,6 +125,7 @@ def test_train_distributed_smoke(tmp_path, monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_train_distributed_context_smoke(tmp_path, monkeypatch):
     # sequence parallelism: --context 2 selects ring attention
     monkeypatch.chdir(tmp_path)
@@ -120,6 +135,7 @@ def test_train_distributed_context_smoke(tmp_path, monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_train_distributed_pipeline_smoke(tmp_path, monkeypatch):
     # pipeline parallelism: GPipe over a data=2 x pipe=4 mesh
     monkeypatch.chdir(tmp_path)

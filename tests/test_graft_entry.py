@@ -28,6 +28,7 @@ def test_dryrun_multichip_inline():
     graft.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_subprocess(monkeypatch):
     # mimic the driver's real environment: pretend no backend with >=8
     # devices exists so the subprocess self-hosting path is exercised
@@ -36,6 +37,7 @@ def test_dryrun_multichip_subprocess(monkeypatch):
     graft.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_nonfactor2():
     # device counts that are not powers of two must still factor
     graft.dryrun_multichip(6)

@@ -101,8 +101,15 @@ def simple_head(target):
     return head_fn
 
 
-@pytest.mark.parametrize("dp", [1, 2])
-@pytest.mark.parametrize("use_cond", [False, True])
+@pytest.mark.parametrize(
+    "use_cond,dp",
+    [
+        (False, 1),
+        pytest.param(True, 1, marks=pytest.mark.slow),
+        pytest.param(False, 2, marks=pytest.mark.slow),
+        pytest.param(True, 2, marks=pytest.mark.slow),
+    ],
+)
 def test_1f1b_matches_unpipelined(use_cond, dp):
     t = tiny_transformer()
     key = jax.random.PRNGKey(0)

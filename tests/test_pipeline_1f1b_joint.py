@@ -48,7 +48,12 @@ def ragged_batch(m, b=8, seed=0):
 
 
 @pytest.mark.parametrize(
-    "velocity,dp", [(False, 1), (True, 1), (True, 2)]
+    "velocity,dp",
+    [
+        (False, 1),
+        pytest.param(True, 1, marks=pytest.mark.slow),
+        pytest.param(True, 2, marks=pytest.mark.slow),
+    ],
 )
 def test_1f1b_joint_loss_and_grads_match_dense(velocity, dp):
     """dp=2 exercises the data x pipe composition (VERDICT r3 #6): each

@@ -88,3 +88,56 @@ def test_generate_text_only_auto_policy_runs():
     )
     assert out.shape == (1, 8)
     assert int(jnp.max(out)) < model.num_text_tokens
+
+
+# ---------------------------------------------------------------------------
+# engine-vs-static dispatch planning (r4)
+# ---------------------------------------------------------------------------
+
+
+def test_plan_dispatch_measured_workloads():
+    """The planner must reproduce the measured probe outcomes with the
+    on-TPU fitted cost model (rtt 36.7ms, step 2.61ms — probe_engine.py):
+    workload A (16 req, mild skew, 2 pool waves) measured 0.59x engine ->
+    static; workload B (48 req, bimodal 16/256, deep queue) measured the
+    engine winning -> engine."""
+    import numpy as np
+
+    from transfusion_tpu.models.serving import plan_dispatch
+
+    rng = np.random.default_rng(0)
+    rtt, step = 0.0367, 0.00261
+
+    _ = rng.integers(64, 512, 16)  # match the probe's draw order
+    budgets_a = np.concatenate(
+        [rng.integers(16, 48, 12), rng.integers(128, 192, 4)]
+    )
+    rng.shuffle(budgets_a)
+    assert plan_dispatch(budgets_a.tolist(), 8, rtt, step) == "static"
+
+    budgets_b = [256 if i % 8 == 0 else 16 for i in range(48)]
+    assert plan_dispatch(budgets_b, 8, rtt, step) == "engine"
+
+    # degenerate: empty queue
+    assert plan_dispatch([], 8, rtt, step) == "static"
+
+
+def test_estimate_times_are_sane():
+    from transfusion_tpu.models.serving import (
+        estimate_engine_time,
+        estimate_static_time,
+    )
+
+    rtt, step = 0.035, 0.0025
+    # one uniform pool: static = 2 dispatches + b steps; the engine can't
+    # beat it (same steps, >= as many dispatches)
+    s = estimate_static_time([64] * 8, 8, rtt, step)
+    e = estimate_engine_time([64] * 8, 8, rtt, step)
+    assert s <= e
+    # deep bimodal queue: the engine refills retired slots -> fewer wasted
+    # scan steps than 6 static pools each decoding 256
+    s2 = estimate_static_time([256 if i % 8 == 0 else 16 for i in range(48)],
+                              8, rtt, step)
+    e2 = estimate_engine_time([256 if i % 8 == 0 else 16 for i in range(48)],
+                              8, rtt, step)
+    assert e2 < s2

@@ -161,6 +161,7 @@ def test_text_trajectory_parity():
     assert losses_j[-1] < losses_j[0] - 1e-3
 
 
+@pytest.mark.slow
 def test_joint_trajectory_parity_with_velocity_ema():
     """N steps of the joint loss (text CE + flow MSE + velocity leg) with
     EMA updates on both sides, through the real Trainer."""

@@ -163,6 +163,9 @@ class ServingEngine:
         self._chunk_samples = {}
         self._rtt_est = 0.030
         self._step_est = 0.002
+        self._cost_frozen = False  # warmup() freezes the fit: chunk plans
+        # (and hence admission groupings -> compiled dispatch set) stay
+        # deterministic across runs
 
     # ------------------------------------------------------------------
     # jitted device functions
@@ -369,7 +372,8 @@ class ServingEngine:
         RTT + k*step cost. Retirement is tracked in-scan, so overshooting a
         row's end is safe — the choice only trades dispatch count against
         how long a freed slot idles before the next admission."""
-        self._fit_cost_model()
+        if not self._cost_frozen:
+            self._fit_cost_model()
         rem = [
             self.slots[s].max_new_tokens - len(self.slots[s].tokens)
             for s in range(self.max_batch)
@@ -378,6 +382,37 @@ class ServingEngine:
         return choose_chunk(
             rem, self._rtt_est, self._step_est, self.decode_chunk
         )
+
+    def warmup(self):
+        """Compile the decode dispatch for EVERY pow2 chunk length up to
+        decode_chunk and collect one clean timing sample per length (the
+        compile call is excluded — it is the bucket's first sample).
+
+        The chunk chooser (`choose_chunk`) picks lengths from the fitted
+        cost model, so a cold engine can request a length the previous
+        chunks never compiled — a multi-second remote compile landing in
+        the middle of serving. Production engines should warm the full
+        ladder once; all runs are fully inert (active mask all-False:
+        validity masked, idx pinned, payload discarded), so the pool state
+        is untouched."""
+        zeros_i = jnp.zeros((self.max_batch,), jnp.int32)
+        inert = jnp.zeros((self.max_batch,), bool)
+        k = 1
+        while k <= self.decode_chunk:
+            for first in (True, False):
+                t0 = time.perf_counter()
+                self.cache, self.last_logits, payload = self._decode()(
+                    self.params, self.cache, self.last_logits,
+                    inert, zeros_i, zeros_i, zeros_i, k,
+                )
+                np.asarray(payload)  # force real completion (tunnel ack)
+                if not first:  # clean sample: compile excluded
+                    self._chunk_samples.setdefault(k, []).extend(
+                        [0.0, time.perf_counter() - t0]
+                    )
+            k <<= 1
+        self._fit_cost_model()
+        self._cost_frozen = True
 
     def step(self):
         """One engine tick: admit pending requests into free slots, then
@@ -429,6 +464,49 @@ class ServingEngine:
                 finished.append(r)
                 self.slots[slot] = None
         return finished
+
+    def serve(self, prompts, max_new_tokens):
+        """Auto-dispatched batch serving (VERDICT r3 #4: the engine must
+        never lose to static batching). Chooses continuous batching or
+        static `generate_text_batch` pools from the fitted dispatch-cost
+        model (models/serving.plan_dispatch) — budget skew + queue depth
+        decide — and returns one token list per prompt, in order.
+
+        max_new_tokens: int (shared) or a per-prompt list. Greedy output is
+        identical on both paths; with temperature > 0 the two paths draw
+        from different (each reproducible) rng streams.
+        """
+        from transfusion_tpu.models.serving import plan_dispatch
+
+        budgets = (
+            [int(b) for b in max_new_tokens]
+            if hasattr(max_new_tokens, "__len__")
+            else [int(max_new_tokens)] * len(prompts)
+        )
+        assert len(budgets) == len(prompts)
+        plan = plan_dispatch(
+            budgets, self.max_batch, self._rtt_est, self._step_est,
+            max_chunk=self.decode_chunk,
+        )
+        if plan == "static":
+            out = []
+            for i in range(0, len(prompts), self.max_batch):
+                grp_p = list(prompts[i : i + self.max_batch])
+                grp_b = budgets[i : i + self.max_batch]
+                toks = np.asarray(self.model.generate_text_batch(
+                    self.params, grp_p, max_new_tokens=max(grp_b),
+                    rng=self.rng, temperature=self.temperature,
+                    min_p=self.min_p,
+                ))
+                for row, b in zip(toks, grp_b):
+                    row = row[:b].tolist()
+                    if self.eos_id is not None and self.eos_id in row:
+                        row = row[: row.index(self.eos_id) + 1]
+                    out.append(row)
+            return out
+        rids = [self.submit(p, b) for p, b in zip(prompts, budgets)]
+        by_rid = {r.rid: r.tokens for r in self.run()}
+        return [by_rid[rid] for rid in rids]
 
     def run(self, prompts=None, max_new_tokens: Optional[int] = None):
         """Drive until the queue and all slots drain. Optionally submit

@@ -128,3 +128,85 @@ def plan_serving(
     plan = ServingPlan(use_kernel, quantize, tuple(reasons))
     logger.debug("serving plan: %s", plan)
     return plan
+
+
+# ---------------------------------------------------------------------------
+# engine-vs-static dispatch planning (r4)
+# ---------------------------------------------------------------------------
+
+# static decode scans run against an exactly-sized cache
+# (width_bucket(history) + budget slots) while the engine pool is allocated
+# at max_seq_len for its whole lifetime — measured per-step ratio at the
+# probe config (dim 384 / depth 8, histories<=512, engine cap 1024):
+# 1.71 ms vs 2.61 ms (scripts/probe_engine.py, docs_evidence.md).
+STATIC_STEP_RATIO = 0.7
+
+
+def estimate_static_time(budgets, pool: int, rtt_s: float, step_s: float):
+    """Wall-clock model of static batching (`generate_text_batch` over
+    pools of `pool` requests): each pool pays one prefill dispatch and one
+    decode scan of its max budget."""
+    t = 0.0
+    bs = [int(b) for b in budgets]
+    for i in range(0, len(bs), pool):
+        t += 2 * rtt_s + max(bs[i : i + pool]) * step_s
+    return t
+
+
+def estimate_engine_time(
+    budgets, pool: int, rtt_s: float, step_s: float, max_chunk: int = 256
+):
+    """Wall-clock model of the ServingEngine loop: greedy simulation with
+    the engine's own chunk chooser (models/engine.choose_chunk) — one
+    admission dispatch per wave, one decode dispatch + k scan steps per
+    chunk, in-scan retirement."""
+    from collections import deque
+
+    from transfusion_tpu.models.engine import choose_chunk
+
+    queue = deque(int(b) for b in budgets)
+    slots: list = []
+    t = 0.0
+    guard = 0
+    while queue or slots:
+        guard += 1
+        assert guard < 10_000, "engine-time simulation diverged"
+        if queue and len(slots) < pool:
+            t += rtt_s  # admission wave (prefill + scatter dispatch)
+            while queue and len(slots) < pool:
+                slots.append(queue.popleft())
+        k = choose_chunk(slots, rtt_s, step_s, max_chunk)
+        t += rtt_s + k * step_s
+        slots = [r - k for r in slots if r - k > 0]
+    return t
+
+
+def plan_dispatch(
+    budgets,
+    pool: int,
+    rtt_s: float = 0.035,
+    step_s: float = 0.0025,
+    *,
+    static_step_ratio: float = STATIC_STEP_RATIO,
+    margin: float = 0.95,
+    max_chunk: int = 256,
+) -> str:
+    """'engine' | 'static' for a batch of requests with known budgets.
+
+    Continuous batching wins when budget skew + queue depth let retired
+    slots do useful work (deep queues, bimodal budgets); static batching
+    wins when per-pool budgets cluster (its 2-dispatch-per-pool structure
+    is then unbeatable on a high-RTT link — measured 0.59x engine on the
+    mild-skew workload A, docs_evidence.md "Continuous batching"). Both
+    estimates use the engine's fitted dispatch-cost model; the engine must
+    beat static by `margin` to be chosen (ties go to the simpler path).
+    """
+    if not budgets:
+        return "static"
+    e = estimate_engine_time(budgets, pool, rtt_s, step_s, max_chunk)
+    s = estimate_static_time(budgets, pool, rtt_s, step_s * static_step_ratio)
+    choice = "engine" if e < margin * s else "static"
+    logger.info(
+        "plan_dispatch: engine~%.3fs static~%.3fs -> %s", e, s, choice
+    )
+    return choice
