@@ -76,35 +76,41 @@ def main():
           f"({got/dt_static:.1f} useful tok/s)")
 
     # --- engine ------------------------------------------------------------
-    def make_engine():
-        return ServingEngine(
-            model, params, max_batch=pool, max_seq_len=1024,
-            temperature=0.0,
+    # pool cap sized to the workload (for_workload): the static path gets
+    # exactly-sized caches for free, so an oversized engine cap would tax
+    # every decode step's attention with dead slots
+    def warmed_pair(ps, bs):
+        """(warm engine, timed twin) — the twin shares the warm engine's
+        compiled fns and frozen cost fit so its run compiles nothing."""
+        e_warm = ServingEngine.for_workload(
+            model, params, list(ps), [int(b) for b in bs],
+            max_batch=pool, temperature=0.0,
         )
+        e_warm.warmup()
+        e_timed = ServingEngine.for_workload(
+            model, params, list(ps), [int(b) for b in bs],
+            max_batch=pool, temperature=0.0,
+        )
+        e_timed._admit_fns = e_warm._admit_fns
+        e_timed._decode_fn = e_warm._decode_fn
+        e_timed._rtt_est, e_timed._step_est = e_warm._rtt_est, e_warm._step_est
+        e_timed._cost_frozen = True
+        return e_warm, e_timed
 
-    eng = make_engine()
-    eng.warmup()  # compile the full pow2 chunk ladder + clean cost samples
-    for p, b in zip(prompts, budgets):
-        eng.submit(p, int(b))
+    eng, eng2 = warmed_pair(prompts, budgets)
+    for p_, b in zip(prompts, budgets):
+        eng.submit(p_, int(b))
     eng.run()  # compile pass for admission widths (jits are per-engine)
 
-    eng2 = make_engine()
-    # jitted fns close over the engine instance — share the compiled ones
-    # (and the warm dispatch-cost samples, so the chunk chooser starts
-    # from the measured RTT/step rather than priors)
-    eng2._admit_fns, eng2._decode_fn = eng._admit_fns, eng._decode_fn
-    eng2._rtt_est, eng2._step_est = eng._rtt_est, eng._step_est
-    eng2._cost_frozen = True  # identical frozen fit -> identical chunk plan
-    # -> identical admission groupings -> zero compiles in the timed run
-    for p, b in zip(prompts, budgets):
-        eng2.submit(p, int(b))
+    for p_, b in zip(prompts, budgets):
+        eng2.submit(p_, int(b))
     t0 = time.perf_counter()
     done = eng2.run()
     dt_eng = time.perf_counter() - t0
     got = sum(len(r.tokens) for r in done)
     print(f"engine: {got} useful tok in {dt_eng:.2f}s "
           f"({got/dt_eng:.1f} useful tok/s)  "
-          f"[{eng2.stats['decode_chunks']} chunks, "
+          f"[{eng2.stats['decode_chunks']} chunks, cap {eng2.cap}, "
           f"decode {eng2.stats['decode_time_s']:.2f}s, "
           f"fit rtt={eng._rtt_est*1e3:.1f}ms step={eng._step_est*1e3:.2f}ms]")
     print(f"speedup: {dt_static/dt_eng:.2f}x")
@@ -136,48 +142,47 @@ def main():
     print(f"static: {useful2} useful tok in {dt_s2:.2f}s "
           f"({useful2/dt_s2:.1f} useful tok/s)")
 
-    e3 = make_engine()
-    e3._admit_fns, e3._decode_fn = eng._admit_fns, eng._decode_fn
-    e3._rtt_est, e3._step_est = eng._rtt_est, eng._step_est
-    e3._cost_frozen = True
-    for p, b in zip(prompts2, budgets2):
-        e3.submit(p, int(b))
+    e3, e4 = warmed_pair(prompts2, budgets2)
+    for p_, b in zip(prompts2, budgets2):
+        e3.submit(p_, int(b))
     e3.run()  # compile any new (width, nb)/k combos
 
-    e4 = make_engine()
-    e4._admit_fns, e4._decode_fn = e3._admit_fns, e3._decode_fn
-    e4._rtt_est, e4._step_est = eng._rtt_est, eng._step_est
-    e4._cost_frozen = True
-    for p, b in zip(prompts2, budgets2):
-        e4.submit(p, int(b))
+    for p_, b in zip(prompts2, budgets2):
+        e4.submit(p_, int(b))
     t0 = time.perf_counter()
     done = e4.run()
     dt_e2 = time.perf_counter() - t0
     got = sum(len(r.tokens) for r in done)
     print(f"engine: {got} useful tok in {dt_e2:.2f}s "
           f"({got/dt_e2:.1f} useful tok/s)  "
-          f"[{e4.stats['decode_chunks']} chunks]")
+          f"[{e4.stats['decode_chunks']} chunks, cap {e4.cap}, "
+          f"fit rtt={e3._rtt_est*1e3:.1f}ms step={e3._step_est*1e3:.2f}ms]")
     print(f"speedup: {dt_s2/dt_e2:.2f}x")
 
     # --- auto dispatch (serve(): plan_dispatch from the fitted model) ------
     from transfusion_tpu.models.serving import plan_dispatch
 
-    for name, (ps, bs, dt_static_ref) in {
-        "A": (prompts, budgets, dt_static),
-        "B": (prompts2, budgets2, dt_s2),
+    def auto_twin(ps, bs, e_warm):
+        """Fresh pool sharing e_warm's compiled fns + frozen fit."""
+        e = ServingEngine.for_workload(
+            model, params, list(ps), [int(b) for b in bs],
+            max_batch=pool, temperature=0.0,
+        )
+        e._admit_fns, e._decode_fn = e_warm._admit_fns, e_warm._decode_fn
+        e._rtt_est, e._step_est = e_warm._rtt_est, e_warm._step_est
+        e._cost_frozen = True
+        return e
+
+    for name, (ps, bs, e_warm, dt_static_ref) in {
+        "A": (prompts, budgets, eng, dt_static),
+        "B": (prompts2, budgets2, e3, dt_s2),
     }.items():
         plan = plan_dispatch(
-            [int(b) for b in bs], pool, eng._rtt_est, eng._step_est
+            [int(b) for b in bs], pool, e_warm._rtt_est, e_warm._step_est
         )
-        e5 = make_engine()
-        e5._admit_fns, e5._decode_fn = eng._admit_fns, eng._decode_fn
-        e5._rtt_est, e5._step_est = eng._rtt_est, eng._step_est
-        e5._cost_frozen = True
+        e5 = auto_twin(ps, bs, e_warm)
         e5.serve(list(ps), [int(b) for b in bs])  # compile (static leg jits)
-        e6 = make_engine()
-        e6._admit_fns, e6._decode_fn = eng._admit_fns, eng._decode_fn
-        e6._rtt_est, e6._step_est = eng._rtt_est, eng._step_est
-        e6._cost_frozen = True
+        e6 = auto_twin(ps, bs, e_warm)
         t0 = time.perf_counter()
         out = e6.serve(list(ps), [int(b) for b in bs])
         dt_auto = time.perf_counter() - t0

@@ -103,3 +103,49 @@ def test_sample_batch_reproducible_and_decoded():
         max_length=4, modality_steps=2, cfg_scale=1.0,
     )
     assert len(out) == 3
+
+
+def test_sample_batch_capacity_rebuild():
+    """A modality segment overflowing the pool cap triggers the
+    rebuild-all path (re-prefill at a larger cap); results must still
+    match solo sampling."""
+    from transfusion_tpu.models import sample_batch as sb
+
+    m = small_model()
+    params = m.init_params(jax.random.PRNGKey(0))
+    prompts = make_prompts(m)
+    noise = np.asarray(
+        np.random.default_rng(7).normal(size=(16, 8)), np.float32
+    )
+    kw = dict(
+        max_length=5, text_temperature=0.0, text_min_p=0.0,
+        init_modality_noise=noise, modality_steps=2, cfg_scale=1.0,
+        return_unprocessed_modalities=True,
+    )
+
+    # force a tiny initial cap (16 slots: fits every prompt's prefill width
+    # and the <=5 text ticks, but NOT prompt + modality segment + eom) so
+    # the first ODE segment takes the rebuild-all branch
+    orig = sb._round_up
+    calls = {"n": 0}
+
+    def tight_round_up(n, mult):
+        calls["n"] += 1
+        if calls["n"] == 1:  # the initial cap computation only
+            return 16
+        return orig(n, mult)
+
+    sb._round_up = tight_round_up
+    try:
+        batched = m.sample_batch(
+            params, prompts, rng=jax.random.PRNGKey(1), **kw
+        )
+    finally:
+        sb._round_up = orig
+    assert calls["n"] >= 2, "the rebuild path never ran"
+
+    for p, got in zip(prompts, batched):
+        solo = m.sample(
+            params, p, rng=jax.random.PRNGKey(1), cache_kv=True, **kw
+        )
+        assert_items_equal(got, solo, atol=2e-5)

@@ -167,6 +167,21 @@ class ServingEngine:
         # (and hence admission groupings -> compiled dispatch set) stay
         # deterministic across runs
 
+    @classmethod
+    def for_workload(cls, model, params, prompts, budgets, *, max_batch,
+                     **kw):
+        """Engine with the pool cap sized to the workload (the static path
+        gets exactly-sized caches for free; an oversized pool cap taxes
+        EVERY decode step's attention with dead cache slots — measured
+        ~1.5x step cost at cap 1024 vs the workload's natural 512)."""
+        need = max(
+            int(np.asarray(p).size) + int(b)
+            for p, b in zip(prompts, budgets)
+        )
+        return cls(
+            model, params, max_batch=max_batch, max_seq_len=need, **kw
+        )
+
     # ------------------------------------------------------------------
     # jitted device functions
     # ------------------------------------------------------------------
@@ -241,15 +256,23 @@ class ServingEngine:
 
         def decode(params, cache, last_logits, active, budget_left, seeds,
                    cnts, k):
-            def step(carry, _):
-                cache, last, cnts, active, left = carry
-                # per-slot fold-in stream: reproducible per request no
-                # matter the co-scheduling (see module docstring)
-                keys = jax.vmap(
+            # per-slot fold-in streams, HOISTED out of the scan: a row's
+            # position counter only advances while the row is active, and a
+            # row is active on a PREFIX of the chunk's steps (active_next =
+            # active & ~stop, never reactivated), so the key at scan step j
+            # is fold_in(fold_in(rng, seed), cnts0 + j) for every step that
+            # matters — precompute all k rows of keys in one batched hash
+            # instead of re-hashing inside every scan step
+            all_keys = jax.vmap(
+                lambda j: jax.vmap(
                     lambda s, c: jax.random.fold_in(
-                        jax.random.fold_in(base_rng, s), c
+                        jax.random.fold_in(base_rng, s), c + j
                     )
                 )(seeds, cnts)
+            )(jnp.arange(k))  # [k, B, key]
+
+            def step(carry, keys):
+                cache, last, cnts, active, left = carry
                 tok = jax.vmap(sample_row)(keys, last)
                 old_idx = cache["idx"]
                 # inactive slots: fresh positions stay invalid + idx pinned,
@@ -278,7 +301,7 @@ class ServingEngine:
 
             (cache, last, cnts, active, left), (toks, emitted) = jax.lax.scan(
                 step, (cache, last_logits, cnts, active, budget_left),
-                None, length=k,
+                all_keys,
             )
             # ONE host-bound payload: [toks | emitted | final-active] as a
             # single int32 array, so the host pays one device->host fetch
