@@ -34,7 +34,8 @@ from transfusion_tpu.utils.hostfp import cpu_cache_fingerprint  # noqa: E402
 
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.expanduser(
+    os.environ.get("TRANSFUSION_TEST_CACHE_DIR")  # override: cold-run timing
+    or os.path.expanduser(
         "~/.cache/transfusion_tpu/jax-cpu-tests/" + cpu_cache_fingerprint()
     ),
 )

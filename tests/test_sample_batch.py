@@ -113,7 +113,14 @@ def test_sample_batch_capacity_rebuild():
 
     m = small_model()
     params = m.init_params(jax.random.PRNGKey(0))
-    prompts = make_prompts(m)
+    # 12-token forced-modality prompt: 12 prefill slots + segment L=3 + 2
+    # overflows a 16-slot cap at the ODE branch (prefill width bucket 16
+    # still fits), plus a plain text request riding along through the
+    # rebuild
+    prompts = [
+        [np.asarray([3] * 10 + [1, m.som_ids[0]], np.int32)],
+        [np.asarray([2, 4, 6], np.int32)],
+    ]
     noise = np.asarray(
         np.random.default_rng(7).normal(size=(16, 8)), np.float32
     )
