@@ -133,26 +133,84 @@ def _pick_impl(model, last_logits, keys, *, temperature, min_p):
     )(keys, filtered)
 
 
-def _tick_impl(
-    model, params, cache, toks, pos, active, keys, *, temperature, min_p, R
+def _chunk_tick_impl(
+    model, params, cache, toks0, pos0, active0, rem, base_rng, cnt0,
+    *, temperature, min_p, R, k, stop_ids,
 ):
-    """One batched text step: stream `toks` (Int[rows, 1]) at per-row
-    positions for active rows (inactive rows bit-inert: validity masked,
-    idx pinned), then sample the next token for each of the R conditional
-    rows."""
+    """k batched text steps in ONE dispatch (lax.scan), with in-scan
+    per-row stopping — the ServingEngine trick extended with a som/eos
+    stop set, so a row that samples a modality trigger parks mid-chunk
+    and rides the rest bit-inert.
+
+    Per active cond row r at scan step j: stream the current pending
+    token (uncond twin streams null at the same position), sample the
+    next from the fresh logits with the row's precomputed fold-in key,
+    emit it, and stop the row if it sampled a stop id or exhausted its
+    emit budget `rem` (parked rows flush their som with rem=1; their
+    discarded sample reuses the same fold-in counter the consumed token
+    will use later — identical semantics to the single-tick path).
+
+    Returns (emitted toks Int[R, k], emit mask Bool[R, k], cache).
+    """
     from transfusion_tpu.models.transformer import cache_mark_valid
 
-    old_idx = cache["idx"]
-    cache = cache_mark_valid(cache, active[:, None])
-    logits, cache = model.core.apply(
-        params, toks, pos, cache, method="decode_text_step"
+    rows = pos0.shape[0]
+    null_id = model.null_text_id
+    # per-request fold-in keys for the whole chunk, one batched hash
+    # (a row is active on a prefix of the chunk's steps, so the key at
+    # step j is fold(fold(rng, i), cnt0_i + j) for every step that counts)
+    keys_all = jax.vmap(
+        lambda j: jax.vmap(
+            lambda i, c: jax.random.fold_in(
+                jax.random.fold_in(base_rng, i), c + j
+            )
+        )(jnp.arange(R), cnt0)
+    )(jnp.arange(k))  # [k, R, key]
+
+    def step(carry, keys_j):
+        cache, pending, pos, act_c, cnt = carry
+        # rows activity: cond rows act_c; uncond twins mirror them
+        active = (
+            jnp.concatenate([act_c, act_c]) if rows == 2 * R else act_c
+        )
+        toks = jnp.where(act_c, pending, 0)
+        toks_rows = (
+            jnp.concatenate([toks, jnp.full((R,), null_id)])
+            if rows == 2 * R
+            else toks
+        )
+        old_idx = cache["idx"]
+        cache = cache_mark_valid(cache, active[:, None])
+        logits, cache = model.core.apply(
+            params, toks_rows[:, None], pos[:, None], cache,
+            method="decode_text_step",
+        )
+        cache = {**cache, "idx": jnp.where(active, cache["idx"], old_idx)}
+        last = logits[:R, -1].astype(jnp.float32)
+        nxt = _pick_impl(
+            model, last, keys_j, temperature=temperature, min_p=min_p
+        )
+        emit = act_c
+        pending_next = jnp.where(act_c, nxt, pending)
+        cnt_next = cnt + act_c.astype(jnp.int32)
+        stop = cnt_next >= rem
+        for sid in stop_ids:
+            stop = stop | (nxt == sid)
+        act_next = act_c & ~stop
+        pos_next = pos + active.astype(jnp.int32)
+        return (cache, pending_next, pos_next, act_next, cnt_next), (
+            nxt, emit,
+        )
+
+    (cache, _, _, _, _), (toks, emits) = jax.lax.scan(
+        step,
+        (cache, toks0, pos0, active0, jnp.zeros((R,), jnp.int32)),
+        keys_all,
     )
-    cache = {**cache, "idx": jnp.where(active, cache["idx"], old_idx)}
-    last = logits[:, -1].astype(jnp.float32)
-    nxt = _pick_impl(
-        model, last[:R], keys, temperature=temperature, min_p=min_p
-    )
-    return nxt, cache
+    payload = jnp.concatenate(
+        [toks.T.astype(jnp.int32), emits.T.astype(jnp.int32)], axis=1
+    )  # [R, 2k] — ONE host fetch per chunk
+    return payload, cache
 
 
 def _ode_impl(
@@ -223,6 +281,9 @@ def sample_batch(
     cfg_scale: float = 3.0,
     kv_quantize: Optional[bool] = None,
     return_unprocessed_modalities: bool = False,
+    text_chunk: int = 32,  # max text tokens decoded per dispatch (rows
+    # stop in-scan at som/eos/budget, so overshoot is bit-inert; 1 =
+    # dispatch-per-token)
 ):
     """Batched equivalent of `model.sample(cache_kv=True, ...)` over R
     prompts. Returns a list of R results (decoded sample items, or raw
@@ -236,6 +297,10 @@ def sample_batch(
     R = len(prompts)
     use_cfg = cfg_scale != 1.0
     rows = 2 * R if use_cfg else R
+    # in-scan stop set: modality triggers + eos (budget rides separately)
+    stop_ids = tuple(int(s) for s in model.som_ids)
+    if model.eos_id is not None:
+        stop_ids = stop_ids + (int(model.eos_id),)
 
     reqs = []
     for p in prompts:
@@ -349,44 +414,63 @@ def sample_batch(
                 consume(reqs[i], i, int(picks[i]))
             retire_overlong()
 
-        # ---- tick: stream every pending token in one dispatch -----------
-        stream = [i for i, r in enumerate(reqs) if live(r) and r.pending is not None]
-        # parked requests must flush their pending som before the ODE even
-        # though their sampled output is discarded
+        # ---- chunked text decode: stream every pending token and keep
+        # decoding in ONE lax.scan dispatch; rows stop in-scan at som/eos/
+        # budget (parked rows flush their som with an emit budget of 1) ---
+        stream = [
+            i for i, r in enumerate(reqs)
+            if live(r) and r.pending is not None
+        ]
         if stream:
-            toks = np.zeros((rows, 1), np.int32)
-            pos = np.zeros((rows, 1), np.int32)
-            act = np.zeros(rows, bool)
+            toks0 = np.zeros(R, np.int32)
+            pos0 = np.zeros(rows, np.int32)
+            act0 = np.zeros(R, bool)
+            rem = np.zeros(R, np.int32)
+            cnt0 = np.zeros(R, np.int32)
             for i in stream:
                 r = reqs[i]
-                toks[i, 0] = r.pending
-                pos[i, 0] = r.tok_count - r.collapse
-                act[i] = True
+                toks0[i] = r.pending
+                pos0[i] = r.tok_count - r.collapse
+                act0[i] = True
+                rem[i] = (
+                    1 if (r.parked or r.done)
+                    else max_length - r.curr_length + 1
+                )
+                cnt0[i] = r.n_sampled
                 if use_cfg:
-                    toks[R + i, 0] = model.null_text_id
-                    pos[R + i, 0] = pos[i, 0]
-                    act[R + i] = True
-            keys = jnp.stack([text_key(i, reqs[i]) for i in range(R)])
+                    pos0[R + i] = pos0[i]
+            max_rem = int(max(rem[i] for i in stream))
+            k = 1 << (min(max_rem, int(text_chunk)) - 1).bit_length()
             fn = model._get_jit(
-                "sampleb_tick", functools.partial(_tick_impl, model),
-                static_argnames=("temperature", "min_p", "R"),
+                "sampleb_chunk", functools.partial(_chunk_tick_impl, model),
+                static_argnames=(
+                    "temperature", "min_p", "R", "k", "stop_ids"
+                ),
                 donate_argnums=(1,),  # cache buffers update in place
             )
-            nxt, cache = fn(
-                params, cache, jnp.asarray(toks), jnp.asarray(pos),
-                jnp.asarray(act), keys,
+            payload, cache = fn(
+                params, cache, jnp.asarray(toks0), jnp.asarray(pos0),
+                jnp.asarray(act0), jnp.asarray(rem), rng,
+                jnp.asarray(cnt0),
                 temperature=float(text_temperature),
-                min_p=float(text_min_p), R=R,
+                min_p=float(text_min_p), R=R, k=k,
+                stop_ids=stop_ids,
             )
-            nxt = np.asarray(nxt)  # one host fetch per tick
+            payload = np.asarray(payload)  # one host fetch per chunk
+            toks_e = payload[:, :k]
+            emits = payload[:, k:].astype(bool)
             for i in stream:
                 r = reqs[i]
-                r.tok_count += 1
-                r.slots_used += 1
+                m = int(emits[i].sum())  # rows are active on a prefix
+                r.tok_count += m  # streamed = one per active step
+                r.slots_used += m
                 if r.parked or r.done:
                     r.pending = None  # som flushed / eos never continued
                 else:
-                    consume(r, i, int(nxt[i]))
+                    for j in range(m):
+                        consume(r, i, int(toks_e[i, j]))
+                        if r.done or r.parked:
+                            break
 
         # ---- ODE: parked requests grouped by (modality, shape) ----------
         groups = {}
