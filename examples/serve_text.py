@@ -49,6 +49,10 @@ def main():
     p.add_argument("--ragged", action="store_true",
                    help="demo ragged batching: requests with different "
                         "history lengths decode together")
+    p.add_argument("--mm-engine", action="store_true",
+                   help="demo the continuous-batching MULTIMODAL engine: "
+                        "full sample()-style requests (text + image "
+                        "segments + CFG) over a slot pool")
     args = p.parse_args()
 
     from transfusion_tpu.models.transfusion import Transfusion
@@ -149,6 +153,44 @@ def main():
             f"engine ({n_req} req over {args.batch} slots, histories "
             f"{lens}, budgets {budgets}): {got} tok in {dt:.2f} s "
             f"(cold incl. compile; {eng.stats['decode_chunks']} chunks)"
+        )
+
+    if args.mm_engine:
+        # continuous batching of FULL sample() requests: AR text, som-
+        # triggered flow-ODE image segments, CFG — admitted into pool slots
+        # and retired as they finish (models/engine_mm.py). The reference's
+        # sample() is strictly batch-1 (ref transfusion.py:1625-1948).
+        from transfusion_tpu.models.engine_mm import MultimodalServingEngine
+
+        n_req = args.batch * 2
+        som = model.som_ids[0]
+        mm_prompts, mm_budgets = [], []
+        for i in range(n_req):
+            hist = rng.integers(0, 256, 24 + 8 * (i % 3)).astype(np.int32)
+            if i % 4 == 0:  # minority: forced image segment + text tail
+                mm_prompts.append([np.concatenate(
+                    [hist, np.asarray([som], np.int32)]
+                )])
+                mm_budgets.append(220)  # 14x14=196 latent rows + text tail
+            else:
+                mm_prompts.append([hist])
+                mm_budgets.append(16)
+        eng = MultimodalServingEngine.for_workload(
+            model, params, mm_prompts, max(mm_budgets),
+            max_requests=args.batch, modality_steps=8, cfg_scale=3.0,
+            return_unprocessed_modalities=True,
+        )
+        for mp, mb in zip(mm_prompts, mm_budgets):
+            eng.submit(mp, max_length=mb)
+        t0 = time.perf_counter()
+        done = eng.run()
+        dt = time.perf_counter() - t0
+        print(
+            f"mm-engine ({n_req} sample()-requests over {args.batch} "
+            f"slots): {eng.stats['text_tokens']} text + "
+            f"{eng.stats['modality_tokens']} latent tokens in {dt:.2f} s "
+            f"(cold incl. compile; {eng.stats['text_chunks']} text chunks, "
+            f"{eng.stats['ode_dispatches']} ODE dispatches)"
         )
 
     if args.multimodal:

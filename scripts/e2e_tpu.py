@@ -98,6 +98,20 @@ def main():
     print(f"PASS sample_batch R=3 in {time.perf_counter() - t0:.1f}s "
           f"({[len(o) for o in outs]} items)")
 
+    # multimodal continuous batching: 3 requests over a 2-slot pool
+    from transfusion_tpu.models.engine_mm import MultimodalServingEngine
+
+    eng = MultimodalServingEngine.for_workload(
+        m, state.params, prompts, 24, max_requests=2, modality_steps=4,
+        text_temperature=0.0, return_unprocessed_modalities=True,
+        rng=jax.random.PRNGKey(1),
+    )
+    t0 = time.perf_counter()
+    fin = eng.run(prompts, max_length=24)
+    assert len(fin) == len(prompts), (len(fin), eng.stats)
+    print(f"PASS mm-engine 3 req / 2 slots in "
+          f"{time.perf_counter() - t0:.1f}s ({eng.stats})")
+
     print("E2E PASS")
 
 

@@ -1,0 +1,124 @@
+"""Multimodal continuous-batching engine (models/engine_mm.py): full
+sample()-style requests (AR text + som-triggered ODE segments + CFG)
+admitted into pool slots and retired as they finish. Greedy f32 output with
+pinned modality noise must equal solo `sample(cache_kv=True)` per request,
+INCLUDING when the queue is deeper than the pool (continuous admission) and
+when the pool rebuilds at a larger capacity mid-serve."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transfusion_tpu.models.engine_mm import MultimodalServingEngine
+from transfusion_tpu.models.transfusion import Transfusion
+
+from tests.test_sample_batch import assert_items_equal, make_prompts, small_model
+
+
+PIN_NOISE = np.asarray(
+    np.random.default_rng(7).normal(size=(16, 8)), np.float32
+)
+
+
+def solo(m, params, prompt, **kw):
+    return m.sample(
+        params, prompt, rng=jax.random.PRNGKey(1), cache_kv=True, **kw
+    )
+
+
+@pytest.mark.parametrize("cfg_scale", [1.0, 3.0])
+def test_mm_engine_matches_solo_greedy(cfg_scale):
+    """Queue (5 requests) deeper than the pool (2 slots): every request
+    retires with exactly its solo sample() output."""
+    m = small_model()
+    params = m.init_params(jax.random.PRNGKey(0))
+    base = make_prompts(m)
+    prompts = base + [base[0], base[1]]  # 5 requests, pool of 2
+
+    kw = dict(
+        max_length=6, text_temperature=0.0, text_min_p=0.0,
+        init_modality_noise=PIN_NOISE, modality_steps=3,
+        cfg_scale=cfg_scale, return_unprocessed_modalities=True,
+    )
+    eng = MultimodalServingEngine.for_workload(
+        m, params, prompts, 6, max_requests=2,
+        cfg_scale=cfg_scale, modality_steps=3, text_temperature=0.0,
+        text_min_p=0.0, init_modality_noise=PIN_NOISE,
+        return_unprocessed_modalities=True, rng=jax.random.PRNGKey(1),
+    )
+    rids = [eng.submit(p, max_length=6) for p in prompts]
+    finished = eng.run()
+    assert len(finished) == len(prompts)
+    assert eng.stats["admitted"] == len(prompts)
+    by_rid = {f.rid: f.output for f in finished}
+
+    solo_kw = dict(kw)
+    for rid, p in zip(rids, prompts):
+        assert_items_equal(by_rid[rid], solo(m, params, p, **solo_kw), 2e-5)
+
+
+def test_mm_engine_reproducible_across_pool_sizes():
+    """temperature>0: rng folds by REQUEST id, so a request's sampled text
+    is identical whether it runs in a 1-slot or 3-slot pool (f32 ODE output
+    matches to tolerance — dispatch shapes differ)."""
+    m = small_model()
+    params = m.init_params(jax.random.PRNGKey(0))
+    prompts = make_prompts(m)
+
+    def run(pool):
+        eng = MultimodalServingEngine(
+            m, params, max_requests=pool, max_seq_len=128,
+            cfg_scale=1.0, modality_steps=2, text_temperature=1.0,
+            return_unprocessed_modalities=True, rng=jax.random.PRNGKey(3),
+        )
+        fin = eng.run(prompts, max_length=5)
+        return {f.rid: f.output for f in fin}
+
+    a, b = run(1), run(3)
+    assert set(a) == set(b) == {0, 1, 2}
+    for rid in a:
+        assert_items_equal(a[rid], b[rid], atol=1e-5)
+
+
+def test_mm_engine_capacity_rebuild():
+    """A modality segment overflowing the pool capacity triggers the
+    rebuild-all path; results still match solo sampling, including a text
+    request riding along through the rebuild."""
+    m = small_model()
+    params = m.init_params(jax.random.PRNGKey(0))
+    # 126-token forced-modality prompt (incl. the sos _prompt_to_items
+    # prepends): admission fits the 128-slot pool (126 + 2 <= 128) but the
+    # segment does not (126 + L=3 + 2 > 128), so the first ODE group takes
+    # the rebuild-all branch; a short text request rides along through it
+    prompts = [
+        [np.asarray([3] * 123 + [1, m.som_ids[0]], np.int32)],
+        [np.asarray([2, 4, 6], np.int32)],
+    ]
+    kw = dict(
+        max_length=5, text_temperature=0.0, text_min_p=0.0,
+        init_modality_noise=PIN_NOISE, modality_steps=2, cfg_scale=1.0,
+        return_unprocessed_modalities=True,
+    )
+    eng = MultimodalServingEngine(
+        m, params, max_requests=2, max_seq_len=1,  # rounds up to 128
+        cfg_scale=1.0, modality_steps=2, text_temperature=0.0,
+        text_min_p=0.0, init_modality_noise=PIN_NOISE,
+        return_unprocessed_modalities=True, rng=jax.random.PRNGKey(1),
+    )
+    assert eng.cap == 128
+    rids = [eng.submit(p, max_length=5) for p in prompts]
+    fin = {f.rid: f.output for f in eng.run()}
+    assert eng.stats["rebuilds"] >= 1, "the rebuild path never ran"
+    for rid, p in zip(rids, prompts):
+        assert_items_equal(fin[rid], solo(m, params, p, **kw), 2e-5)
+
+
+def test_mm_engine_submit_capacity_assert():
+    m = small_model()
+    params = m.init_params(jax.random.PRNGKey(0))
+    eng = MultimodalServingEngine(
+        m, params, max_requests=1, max_seq_len=128,
+    )
+    with pytest.raises(AssertionError, match="raise max_seq_len"):
+        eng.submit([np.zeros(200, np.int32)], max_length=4)

@@ -151,5 +151,5 @@ def test_serve_text_smoke():
         "serve_text.py",
         ["--history", "32", "--tokens", "4", "--batch", "2",
          "--dim", "64", "--depth", "2", "--kv-quantize", "--multimodal",
-         "--ragged", "--engine"],
+         "--ragged", "--engine", "--mm-engine"],
     )

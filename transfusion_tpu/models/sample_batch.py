@@ -115,6 +115,45 @@ class _Req:
         self.n_segments = 0
 
 
+def _transition(model, r: _Req, fixed_modality_shape=None):
+    """Park the request if its last text token is a som trigger — mirrors
+    the solo loop's maybe-transition (ref transfusion.py:1706-1757)."""
+    last = r.items[-1]
+    if isinstance(last, tuple) or len(last) == 0:
+        return
+    tok = int(np.asarray(last)[-1])
+    if tok not in model.som_ids:
+        return
+    r.mid = model.som_ids.index(tok)
+    r.shape = (
+        tuple(fixed_modality_shape)
+        if fixed_modality_shape is not None
+        else tuple(model._parse_modality_shape(last, r.mid))
+    )
+    r.parked = True
+
+
+def _append_tok(r: _Req, tok: int):
+    last = r.items[-1]
+    if isinstance(last, tuple):
+        r.items.append(np.asarray([tok], np.int32))
+    else:
+        r.items[-1] = np.concatenate([last, np.asarray([tok], np.int32)])
+
+
+def _consume(model, r: _Req, tok: int, fixed_modality_shape=None):
+    """A freshly sampled token for a text-phase request — mirrors the
+    solo loop's text branch."""
+    r.pending = tok
+    r.n_sampled += 1
+    _append_tok(r, tok)
+    r.curr_length += 1
+    if tok == model.eos_id:
+        r.done = True
+        return
+    _transition(model, r, fixed_modality_shape)
+
+
 # ---------------------------------------------------------------------------
 # jitted device functions (resolved through model._get_jit so traces are
 # shared across sample_batch calls on the same model)
@@ -134,7 +173,7 @@ def _pick_impl(model, last_logits, keys, *, temperature, min_p):
 
 
 def _chunk_tick_impl(
-    model, params, cache, toks0, pos0, active0, rem, base_rng, cnt0,
+    model, params, cache, toks0, pos0, active0, rem, base_rng, cnt0, seeds,
     *, temperature, min_p, R, k, stop_ids,
 ):
     """k batched text steps in ONE dispatch (lax.scan), with in-scan
@@ -158,13 +197,16 @@ def _chunk_tick_impl(
     null_id = model.null_text_id
     # per-request fold-in keys for the whole chunk, one batched hash
     # (a row is active on a prefix of the chunk's steps, so the key at
-    # step j is fold(fold(rng, i), cnt0_i + j) for every step that counts)
+    # step j is fold(fold(rng, seed_i), cnt0_i + j) for every step that
+    # counts). `seeds` is the per-row stream id: the row index in
+    # sample_batch, the REQUEST id in the multimodal engine — so engine
+    # output is reproducible per request regardless of slot placement.
     keys_all = jax.vmap(
         lambda j: jax.vmap(
             lambda i, c: jax.random.fold_in(
                 jax.random.fold_in(base_rng, i), c + j
             )
-        )(jnp.arange(R), cnt0)
+        )(seeds, cnt0)
     )(jnp.arange(k))  # [k, R, key]
 
     def step(carry, keys_j):
@@ -338,32 +380,8 @@ def sample_batch(
 
     last_logits, cache = prefill(cap)
 
-    def transition(r: _Req):
-        last = r.items[-1]
-        if isinstance(last, tuple) or len(last) == 0:
-            return
-        tok = int(np.asarray(last)[-1])
-        if tok not in model.som_ids:
-            return
-        r.mid = model.som_ids.index(tok)
-        r.shape = (
-            tuple(fixed_modality_shape)
-            if fixed_modality_shape is not None
-            else tuple(model._parse_modality_shape(last, r.mid))
-        )
-        r.parked = True
-
-    def append_tok(r: _Req, tok: int):
-        last = r.items[-1]
-        if isinstance(last, tuple):
-            r.items.append(np.asarray([tok], np.int32))
-        else:
-            r.items[-1] = np.concatenate(
-                [last, np.asarray([tok], np.int32)]
-            )
-
     for r in reqs:
-        transition(r)
+        _transition(model, r, fixed_modality_shape)
 
     def text_key(i, r):
         return jax.random.fold_in(
@@ -379,16 +397,7 @@ def sample_batch(
                 r.done = True
 
     def consume(r: _Req, i: int, tok: int):
-        """A freshly sampled token for a text-phase request — mirrors the
-        solo loop's text branch."""
-        r.pending = tok
-        r.n_sampled += 1
-        append_tok(r, tok)
-        r.curr_length += 1
-        if tok == model.eos_id:
-            r.done = True
-            return
-        transition(r)
+        _consume(model, r, tok, fixed_modality_shape)
 
     while any(live(r) for r in reqs):
         retire_overlong()
@@ -451,7 +460,7 @@ def sample_batch(
             payload, cache = fn(
                 params, cache, jnp.asarray(toks0), jnp.asarray(pos0),
                 jnp.asarray(act0), jnp.asarray(rem), rng,
-                jnp.asarray(cnt0),
+                jnp.asarray(cnt0), jnp.arange(R),
                 temperature=float(text_temperature),
                 min_p=float(text_min_p), R=R, k=k,
                 stop_ids=stop_ids,
