@@ -56,6 +56,11 @@ class Trainer:
         # schedule, composes with data/fsdp/tp axes) | '1f1b' (in-schedule
         # loss + backward, O(pipe) activation memory — parallel/
         # pipeline_1f1b.py; composes with 'data' x 'pipe' meshes)
+        fused_update: Optional[bool] = None,  # fuse clip+Adam+EMA into one
+        # tree traversal (training/fused_update.py, ~16% -> ~8% of the
+        # flagship step). None = auto: on when using the DEFAULT optimizer
+        # (optimizer=None), off for custom optimizer chains. Bit-identical
+        # trajectories (tests/test_fused_update.py).
     ):
         self.model = model
         self.mesh = mesh
@@ -71,6 +76,16 @@ class Trainer:
         if grad_clip_norm is not None:
             tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
         self.tx = tx
+        # fused fast path only knows the default clip->adam chain's math
+        # (and a scalar lr — schedules would need the count threaded in)
+        if fused_update is None:
+            fused_update = optimizer is None and isinstance(
+                learning_rate, (int, float)
+            )
+        self.fused_update = fused_update
+        self._fused_cfg = dict(
+            learning_rate=learning_rate, grad_clip_norm=grad_clip_norm
+        )
 
         self.ema_cfg = dict(
             beta=ema_beta,
@@ -152,6 +167,7 @@ class Trainer:
 
     def _build_step(self):
         model, tx, ema_cfg = self.model, self.tx, self.ema_cfg
+        fused, fused_cfg = self.fused_update, self._fused_cfg
         use_velocity = self.velocity_consistency
         delta = self.velocity_delta
 
@@ -180,14 +196,35 @@ class Trainer:
                 loss_fn, has_aux=True
             )(state.params)
 
-            updates, new_opt = tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            new_ema = ema_update(state.ema, new_params, **ema_cfg)
+            if fused:
+                from transfusion_tpu.training.fused_update import (
+                    fused_clip_adam_ema,
+                )
+
+                new_params, new_opt, new_ema, aux = fused_clip_adam_ema(
+                    grads,
+                    state.params,
+                    state.opt_state,
+                    state.ema,
+                    learning_rate=fused_cfg["learning_rate"],
+                    grad_clip_norm=fused_cfg["grad_clip_norm"],
+                    ema_beta=ema_cfg["beta"],
+                    ema_update_every=ema_cfg["update_every"],
+                    ema_update_after_step=ema_cfg["update_after_step"],
+                )
+                grad_norm = aux.grad_norm
+            else:
+                updates, new_opt = tx.update(
+                    grads, state.opt_state, state.params
+                )
+                new_params = optax.apply_updates(state.params, updates)
+                new_ema = ema_update(state.ema, new_params, **ema_cfg)
+                grad_norm = optax.global_norm(grads)
 
             metrics = {
                 "loss": loss,
                 "text_loss": breakdown.text,
-                "grad_norm": optax.global_norm(grads),
+                "grad_norm": grad_norm,
             }
             for i, fl in enumerate(breakdown.flow):
                 metrics[f"flow_loss_{i}"] = fl
