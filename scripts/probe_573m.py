@@ -22,6 +22,7 @@ def main():
 
     remat_policy = _s.argv[1] if len(_s.argv) > 1 else "full"
     bs = int(_s.argv[2]) if len(_s.argv) > 2 else 8
+    accum = int(_s.argv[3]) if len(_s.argv) > 3 else 0  # 0 = off
     from transfusion_tpu.models.transfusion import Transfusion
     from transfusion_tpu.training.trainer import Trainer
 
@@ -38,7 +39,10 @@ def main():
         ce_chunk_size=256,
         dtype=jnp.bfloat16,
     )
-    trainer = Trainer(model, learning_rate=3e-4)
+    trainer = Trainer(
+        model, learning_rate=3e-4,
+        grad_accumulation=accum if accum >= 2 else None,
+    )
     state = trainer.init_state(jax.random.PRNGKey(0))
     n_params = sum(
         p.size for p in jax.tree.leaves(state.params)
@@ -58,6 +62,19 @@ def main():
     tokens = int(packed.total_tokens)
     print(f"tokens/step: {tokens}", flush=True)
 
+    if accum >= 2:
+        # pre-pack the M microbatches once (device-resident), as a steady
+        # -state training loop would; total_tokens = content lengths, so
+        # the per-step token count is identical to the full pack's
+        splits = np.array_split(np.arange(bs), accum)
+        packed = [
+            jax.tree.map(
+                jnp.asarray,
+                model.pack([batch[i] for i in idx], shift_friendly=True),
+            )
+            for idx in splits
+        ]
+
     key = jax.random.PRNGKey(1)
     for _ in range(3):
         key, k = jax.random.split(key)
@@ -76,7 +93,8 @@ def main():
     tps = tokens / best
     flops_6nt = 6 * n_params * tps  # useful train FLOP/s by 6NT accounting
     print(
-        f"573M config (remat={remat_policy}, batch={bs}): {best*1e3:.1f} ms/step, {tps/1e3:.1f}k tok/s, "
+        f"573M config (remat={remat_policy}, batch={bs}, accum={accum}): "
+        f"{best*1e3:.1f} ms/step, {tps/1e3:.1f}k tok/s, "
         f"6NT {flops_6nt/1e12:.1f} TFLOP/s = {flops_6nt/197e12*100:.1f}% "
         f"of v5e bf16 peak",
         flush=True,

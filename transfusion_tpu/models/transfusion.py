@@ -862,6 +862,15 @@ class Transfusion:
         train: bool,
         pipeline=None,  # None | (mesh, microbatches): pipeline-parallel
         # trunk (see _joint_core / Trainer(pipeline_microbatches=))
+        loss_scales=None,  # None | dict from `loss_denominators` (summed
+        # over microbatches): every mean in the joint loss is computed with
+        # these GLOBAL denominators instead of this batch's own, so that
+        # summing (total, breakdown) over the microbatches of a split batch
+        # reproduces the full-batch loss exactly — the basis for exact
+        # gradient accumulation (Trainer(grad_accumulation=M)). Same
+        # sum-times-global-denominator rewrite as the 1F1B pipeline head
+        # (models/pipeline_loss.py); denominators depend only on batch
+        # data/masks + the CFG-dropout draw, never on params.
     ):
         T = self.num_modalities
         b, n_full = packed.text.shape
@@ -894,6 +903,12 @@ class Transfusion:
 
         chunked = self.ce_chunk_size is not None
         noise_keys = jax.random.split(rng_noise, max(len(packed.groups), 1))
+
+        if loss_scales is not None:
+            assert pipeline is None, (
+                "loss_scales (gradient accumulation) cannot combine with "
+                "pipeline parallelism — pick one batch-splitting axis"
+            )
 
         if pipeline is not None and len(pipeline) == 3:
             mesh_pp, mb_pp, schedule = pipeline
@@ -937,12 +952,20 @@ class Transfusion:
                 logp, safe_labels[..., None], axis=-1
             )[..., 0]
             ce_sum = -(label_logp * valid).sum()
-        text_loss = ce_sum / jnp.maximum(kept, 1.0)
-        text_frac = kept / total_tokens
+        if loss_scales is not None:
+            kept_g = loss_scales["kept"]
+            total_tokens = loss_scales["total_tokens"]
+        else:
+            kept_g = kept
+        text_loss = ce_sum / jnp.maximum(kept_g, 1.0)
+        text_frac = kept_g / total_tokens
 
         # ---- per-type flow losses ----
-        mod_mask = spans_to_modality_mask(n, packed.spans, T)  # [b, t, m, n]
-        type_token_counts = mod_mask.any(axis=2).sum(axis=(0, 2))  # [t]
+        if loss_scales is not None:
+            type_token_counts = loss_scales["type_token_counts"]
+        else:
+            mod_mask = spans_to_modality_mask(n, packed.spans, T)  # [b,t,m,n]
+            type_token_counts = mod_mask.any(axis=2).sum(axis=(0, 2))  # [t]
         fracs = type_token_counts.astype(jnp.float32) / total_tokens
 
         flow_losses, velocity_losses, recon_losses = [], [], []
@@ -989,13 +1012,23 @@ class Transfusion:
                     )
                     r_parts.append(per_inst)
 
-            denom = float(max(cnt, 1))
+            if loss_scales is not None:
+                denom = float(max(loss_scales["elem_counts"][t], 1))
+            else:
+                denom = float(max(cnt, 1))
             flow_losses.append(sse / denom)
             if has_velocity:
                 velocity_losses.append(v_sse / denom)
             if self.has_recon_loss:
                 if r_parts:
-                    recon_losses.append(jnp.concatenate(r_parts).mean())
+                    per_inst_all = jnp.concatenate(r_parts)
+                    if loss_scales is not None:
+                        inst_g = float(
+                            max(loss_scales["inst_counts"][t], 1)
+                        )
+                        recon_losses.append(per_inst_all.sum() / inst_g)
+                    else:
+                        recon_losses.append(per_inst_all.mean())
                 else:
                     recon_losses.append(jnp.zeros(()))
 
@@ -1023,6 +1056,69 @@ class Transfusion:
             velocity=velocity_losses if has_velocity else None,
             recon=recon_losses if self.has_recon_loss else None,
         )
+
+    def loss_denominators(self, packed: PackedBatch, rng, train: bool = True):
+        """The joint loss's normalization constants for one (micro)batch —
+        none depend on params, so gradient accumulation can compute them
+        up front, sum them across microbatches (`sum_loss_denominators`),
+        and inject the totals into each microbatch's `_loss_impl` via
+        `loss_scales`. Mirrors `_loss_impl`'s preamble exactly: the same
+        rng split and CFG-dropout draw (`kept` counts post-dropout text
+        labels), the same shift, the same span masks.
+        """
+        T = self.num_modalities
+        b = packed.text.shape[0]
+        _, rng_cfg, _, _ = jax.random.split(rng, 4)
+
+        text = packed.text
+        if train and self.prob_uncond > 0:
+            drop = jax.random.uniform(rng_cfg, (b,)) < self.prob_uncond
+            text = jnp.where(
+                drop[:, None] & packed.cfg_mask, self.null_text_id, text
+            )
+        labels = text[:, 1:]
+        n = labels.shape[1]
+
+        is_any_mod = spans_to_is_any_modality(n, packed.spans)
+        valid = (
+            (labels != self.ignore_index)
+            & (labels != self.null_text_id)
+            & ~is_any_mod
+        )
+        mod_mask = spans_to_modality_mask(n, packed.spans, T)
+        elem_counts = [0] * T
+        inst_counts = [0] * T
+        for g in packed.groups:
+            elem_counts[g.modality_type] += int(np.prod(g.latents.shape))
+            inst_counts[g.modality_type] += int(g.latents.shape[0])
+        return {
+            "kept": valid.sum().astype(jnp.float32),
+            "total_tokens": packed.total_tokens.astype(jnp.float32),
+            "type_token_counts": mod_mask.any(axis=2)
+            .sum(axis=(0, 2))
+            .astype(jnp.float32),
+            "elem_counts": tuple(elem_counts),
+            "inst_counts": tuple(inst_counts),
+        }
+
+    @staticmethod
+    def sum_loss_denominators(denoms):
+        """Combine per-microbatch `loss_denominators` dicts into the global
+        scales to inject into every microbatch's loss."""
+        out = dict(denoms[0])
+        for d in denoms[1:]:
+            out["kept"] = out["kept"] + d["kept"]
+            out["total_tokens"] = out["total_tokens"] + d["total_tokens"]
+            out["type_token_counts"] = (
+                out["type_token_counts"] + d["type_token_counts"]
+            )
+            out["elem_counts"] = tuple(
+                a + b for a, b in zip(out["elem_counts"], d["elem_counts"])
+            )
+            out["inst_counts"] = tuple(
+                a + b for a, b in zip(out["inst_counts"], d["inst_counts"])
+            )
+        return out
 
     def _get_jit(self, name, fn, **jit_kw):
         if name not in self._jit_cache:

@@ -56,6 +56,16 @@ class Trainer:
         # schedule, composes with data/fsdp/tp axes) | '1f1b' (in-schedule
         # loss + backward, O(pipe) activation memory — parallel/
         # pipeline_1f1b.py; composes with 'data' x 'pipe' meshes)
+        grad_accumulation: Optional[int] = None,  # split each ragged batch
+        # into M microbatches, accumulate grads over M sequential
+        # forward+backward passes, apply ONE optimizer step. EXACT: every
+        # mean in the joint loss is computed with global denominators
+        # gathered across the microbatches first
+        # (Transfusion.loss_denominators + _loss_impl(loss_scales=...)), so
+        # the accumulated gradient equals the full-batch gradient —
+        # not the mean-of-means approximation. Peak activation memory drops
+        # ~M-fold (one microbatch's trunk live at a time). Mutually
+        # exclusive with pipeline_microbatches.
         fused_update: Optional[bool] = None,  # fuse clip+Adam+EMA into one
         # tree traversal (training/fused_update.py, ~16% -> ~8% of the
         # flagship step). None = auto: on when using the DEFAULT optimizer
@@ -71,6 +81,15 @@ class Trainer:
         self.pipeline_schedule = pipeline_schedule
         if pipeline_microbatches is not None:
             self._validate_pipeline_config()
+        self.grad_accumulation = grad_accumulation
+        if grad_accumulation is not None:
+            assert grad_accumulation >= 2, (
+                "grad_accumulation must be >= 2 (None disables it)"
+            )
+            assert pipeline_microbatches is None, (
+                "grad_accumulation and pipeline_microbatches both split the "
+                "batch — pick one"
+            )
 
         tx = optimizer or optax.adam(learning_rate)
         if grad_clip_norm is not None:
@@ -94,6 +113,7 @@ class Trainer:
         )
         self._step_fn = None
         self._scan_fns = {}
+        self._accum_fns = None
         self._ckpt_mgr = None
 
         from transfusion_tpu.training.metrics import MetricsLogger, ProfilerHook
@@ -165,9 +185,53 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    def _build_step(self):
-        model, tx, ema_cfg = self.model, self.tx, self.ema_cfg
+    def _make_apply(self):
+        """(state, grads) -> (new TrainState, grad_norm): the clip+opt+EMA
+        application, shared by the fused per-step path and the
+        gradient-accumulation path (which feeds it summed grads)."""
+        tx, ema_cfg = self.tx, self.ema_cfg
         fused, fused_cfg = self.fused_update, self._fused_cfg
+
+        def apply(state: TrainState, grads):
+            if fused:
+                from transfusion_tpu.training.fused_update import (
+                    fused_clip_adam_ema,
+                )
+
+                new_params, new_opt, new_ema, aux = fused_clip_adam_ema(
+                    grads,
+                    state.params,
+                    state.opt_state,
+                    state.ema,
+                    learning_rate=fused_cfg["learning_rate"],
+                    grad_clip_norm=fused_cfg["grad_clip_norm"],
+                    ema_beta=ema_cfg["beta"],
+                    ema_update_every=ema_cfg["update_every"],
+                    ema_update_after_step=ema_cfg["update_after_step"],
+                )
+                grad_norm = aux.grad_norm
+            else:
+                updates, new_opt = tx.update(
+                    grads, state.opt_state, state.params
+                )
+                new_params = optax.apply_updates(state.params, updates)
+                new_ema = ema_update(state.ema, new_params, **ema_cfg)
+                grad_norm = optax.global_norm(grads)
+            return (
+                TrainState(
+                    params=new_params,
+                    opt_state=new_opt,
+                    ema=new_ema,
+                    step=state.step + 1,
+                ),
+                grad_norm,
+            )
+
+        return apply
+
+    def _build_step(self):
+        model = self.model
+        apply = self._make_apply()
         use_velocity = self.velocity_consistency
         delta = self.velocity_delta
 
@@ -196,30 +260,7 @@ class Trainer:
                 loss_fn, has_aux=True
             )(state.params)
 
-            if fused:
-                from transfusion_tpu.training.fused_update import (
-                    fused_clip_adam_ema,
-                )
-
-                new_params, new_opt, new_ema, aux = fused_clip_adam_ema(
-                    grads,
-                    state.params,
-                    state.opt_state,
-                    state.ema,
-                    learning_rate=fused_cfg["learning_rate"],
-                    grad_clip_norm=fused_cfg["grad_clip_norm"],
-                    ema_beta=ema_cfg["beta"],
-                    ema_update_every=ema_cfg["update_every"],
-                    ema_update_after_step=ema_cfg["update_after_step"],
-                )
-                grad_norm = aux.grad_norm
-            else:
-                updates, new_opt = tx.update(
-                    grads, state.opt_state, state.params
-                )
-                new_params = optax.apply_updates(state.params, updates)
-                new_ema = ema_update(state.ema, new_params, **ema_cfg)
-                grad_norm = optax.global_norm(grads)
+            new_state, grad_norm = apply(state, grads)
 
             metrics = {
                 "loss": loss,
@@ -229,21 +270,152 @@ class Trainer:
             for i, fl in enumerate(breakdown.flow):
                 metrics[f"flow_loss_{i}"] = fl
 
-            return (
-                TrainState(
-                    params=new_params,
-                    opt_state=new_opt,
-                    ema=new_ema,
-                    step=state.step + 1,
-                ),
-                metrics,
-            )
+            return new_state, metrics
 
         return jax.jit(step_fn, donate_argnums=(0,))
 
+    # ------------------------------------------------------------------
+    # gradient accumulation
+    # ------------------------------------------------------------------
+
+    def _build_accum_fns(self):
+        import functools
+
+        model = self.model
+        delta = self.velocity_delta
+
+        @functools.partial(jax.jit, static_argnums=(5,))
+        def accum_grad(params, ema_params, packed, rng, scales_arr,
+                       scales_static):
+            scales = dict(scales_arr)
+            scales["elem_counts"], scales["inst_counts"] = scales_static
+
+            def loss_fn(p):
+                return model._loss_impl(
+                    p,
+                    packed,
+                    rng,
+                    None,
+                    ema_params,
+                    prob_uncond=model.prob_uncond,
+                    velocity_delta=delta,
+                    train=True,
+                    pipeline=None,
+                    loss_scales=scales,
+                )
+
+            (loss, breakdown), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            return loss, breakdown, grads
+
+        tree_add = jax.jit(
+            lambda a, b: jax.tree.map(jnp.add, a, b), donate_argnums=(0,)
+        )
+        apply_fn = jax.jit(self._make_apply(), donate_argnums=(0,))
+        return accum_grad, tree_add, apply_fn
+
+    def _train_step_accum(self, state: TrainState, batch, rng):
+        """Exact gradient accumulation: M microbatch forward+backward
+        passes with GLOBAL loss denominators (loss_denominators /
+        loss_scales), grads summed on device, one optimizer update. The
+        accumulated (loss, breakdown, grads) equal the full-batch values —
+        not the mean-of-means approximation (tests/test_grad_accum.py)."""
+        from transfusion_tpu.data.packing import PackedBatch
+
+        M = self.grad_accumulation
+        if isinstance(batch, PackedBatch):
+            raise ValueError(
+                "grad_accumulation needs the ragged batch (list of "
+                "ModalitySample) or a list of M pre-packed PackedBatch — "
+                "a single PackedBatch cannot be split row-wise here "
+                "because its modality groups are shape-bucketed across "
+                "the whole batch"
+            )
+        assert isinstance(batch, (list, tuple)) and len(batch) >= 1
+        if all(isinstance(b, PackedBatch) for b in batch):
+            assert len(batch) == M, (
+                f"got {len(batch)} pre-packed microbatches, expected "
+                f"grad_accumulation={M}"
+            )
+            packed_mbs = list(batch)
+        else:
+            assert len(batch) >= M, (
+                f"batch of {len(batch)} samples cannot split into "
+                f"grad_accumulation={M} non-empty microbatches"
+            )
+            import numpy as np
+
+            packed_mbs = []
+            for idx in np.array_split(np.arange(len(batch)), M):
+                sub = [batch[i] for i in idx]
+                encoded = self.model.encode_modalities(sub)
+                packed_mbs.append(
+                    self.model.pack(encoded, shift_friendly=True)
+                )
+        packed_mbs = [jax.tree.map(jnp.asarray, p) for p in packed_mbs]
+        if self.mesh is not None:
+            packed_mbs = [batch_sharding(self.mesh, p) for p in packed_mbs]
+
+        if self._accum_fns is None:
+            self._accum_fns = self._build_accum_fns()
+        accum_grad, tree_add, apply_fn = self._accum_fns
+
+        keys = jax.random.split(rng, M)
+        denoms = [
+            self.model.loss_denominators(p, k, train=True)
+            for p, k in zip(packed_mbs, keys)
+        ]
+        scales = self.model.sum_loss_denominators(denoms)
+        scales_static = (scales.pop("elem_counts"), scales.pop("inst_counts"))
+
+        ema_params = state.ema.params if self.velocity_consistency else None
+
+        if self.profiler is not None:
+            self.profiler(int(state.step))
+
+        loss = None
+        grads = None
+        text_loss = None
+        flow_losses = None
+        for p, k in zip(packed_mbs, keys):
+            l_m, bd_m, g_m = accum_grad(
+                state.params, ema_params, p, k, scales, scales_static
+            )
+            if grads is None:
+                loss, grads = l_m, g_m
+                text_loss = bd_m.text
+                flow_losses = list(bd_m.flow)
+            else:
+                loss = loss + l_m
+                grads = tree_add(grads, g_m)
+                text_loss = text_loss + bd_m.text
+                flow_losses = [
+                    a + b for a, b in zip(flow_losses, bd_m.flow)
+                ]
+
+        state, grad_norm = apply_fn(state, grads)
+
+        metrics = {
+            "loss": loss,
+            "text_loss": text_loss,
+            "grad_norm": grad_norm,
+        }
+        for i, fl in enumerate(flow_losses):
+            metrics[f"flow_loss_{i}"] = fl
+
+        if self.metrics is not None:
+            tokens = sum(int(p.total_tokens) for p in packed_mbs)
+            self.metrics.log(int(state.step), metrics, tokens=tokens)
+        return state, metrics
+
     def train_step(self, state: TrainState, batch, rng):
         """One optimizer step on a ragged batch (list of ModalitySamples)
-        or a pre-packed PackedBatch."""
+        or a pre-packed PackedBatch. With Trainer(grad_accumulation=M) the
+        ragged batch is split into M microbatches whose grads accumulate
+        into one exact full-batch update (see _train_step_accum)."""
+        if self.grad_accumulation is not None:
+            return self._train_step_accum(state, batch, rng)
         if isinstance(batch, list):
             batch = self.model.encode_modalities(batch)
             packed = self.model.pack(batch, shift_friendly=True)
@@ -286,6 +458,10 @@ class Trainer:
 
         from transfusion_tpu.data.packing import PackedBatch
 
+        assert self.grad_accumulation is None, (
+            "train_steps does not accumulate gradients — use per-step "
+            "train_step with grad_accumulation, or drop grad_accumulation"
+        )
         if not isinstance(batches, (list, tuple)):
             batches = [batches]
         elif batches and not any(
