@@ -1013,7 +1013,9 @@ class Transfusion:
                     r_parts.append(per_inst)
 
             if loss_scales is not None:
-                denom = float(max(loss_scales["elem_counts"][t], 1))
+                # dynamic f32 scalar (not jit-static): a shape change in one
+                # microbatch must not retrace the others' accum_grad traces
+                denom = jnp.maximum(loss_scales["elem_counts"][t], 1.0)
             else:
                 denom = float(max(cnt, 1))
             flow_losses.append(sse / denom)
@@ -1023,8 +1025,8 @@ class Transfusion:
                 if r_parts:
                     per_inst_all = jnp.concatenate(r_parts)
                     if loss_scales is not None:
-                        inst_g = float(
-                            max(loss_scales["inst_counts"][t], 1)
+                        inst_g = jnp.maximum(
+                            loss_scales["inst_counts"][t], 1.0
                         )
                         recon_losses.append(per_inst_all.sum() / inst_g)
                     else:
@@ -1065,40 +1067,57 @@ class Transfusion:
         `loss_scales`. Mirrors `_loss_impl`'s preamble exactly: the same
         rng split and CFG-dropout draw (`kept` counts post-dropout text
         labels), the same shift, the same span masks.
+
+        The array-valued pieces run in ONE jitted dispatch (on a tunneled
+        TPU each eager op pays RTT); elem/inst counts are pure Python from
+        group shapes and stay host-side, returned as f32 arrays so the
+        accumulation traces treat them as dynamic (no per-shape retrace).
         """
         T = self.num_modalities
-        b = packed.text.shape[0]
-        _, rng_cfg, _, _ = jax.random.split(rng, 4)
+        ignore_index, null_text_id = self.ignore_index, self.null_text_id
+        prob_uncond = self.prob_uncond
 
-        text = packed.text
-        if train and self.prob_uncond > 0:
-            drop = jax.random.uniform(rng_cfg, (b,)) < self.prob_uncond
-            text = jnp.where(
-                drop[:, None] & packed.cfg_mask, self.null_text_id, text
+        def denoms_arrays(text, cfg_mask, spans, total_tokens, rng):
+            b = text.shape[0]
+            _, rng_cfg, _, _ = jax.random.split(rng, 4)
+            if train and prob_uncond > 0:
+                drop = jax.random.uniform(rng_cfg, (b,)) < prob_uncond
+                text = jnp.where(
+                    drop[:, None] & cfg_mask, null_text_id, text
+                )
+            labels = text[:, 1:]
+            n = labels.shape[1]
+            is_any_mod = spans_to_is_any_modality(n, spans)
+            valid = (
+                (labels != ignore_index)
+                & (labels != null_text_id)
+                & ~is_any_mod
             )
-        labels = text[:, 1:]
-        n = labels.shape[1]
+            mod_mask = spans_to_modality_mask(n, spans, T)
+            return (
+                valid.sum().astype(jnp.float32),
+                total_tokens.astype(jnp.float32),
+                mod_mask.any(axis=2).sum(axis=(0, 2)).astype(jnp.float32),
+            )
 
-        is_any_mod = spans_to_is_any_modality(n, packed.spans)
-        valid = (
-            (labels != self.ignore_index)
-            & (labels != self.null_text_id)
-            & ~is_any_mod
+        fn = self._get_jit(
+            f"loss_denoms_t{int(train)}_T{T}", denoms_arrays
         )
-        mod_mask = spans_to_modality_mask(n, packed.spans, T)
+        kept, total_tokens, type_token_counts = fn(
+            packed.text, packed.cfg_mask, packed.spans,
+            packed.total_tokens, rng,
+        )
         elem_counts = [0] * T
         inst_counts = [0] * T
         for g in packed.groups:
             elem_counts[g.modality_type] += int(np.prod(g.latents.shape))
             inst_counts[g.modality_type] += int(g.latents.shape[0])
         return {
-            "kept": valid.sum().astype(jnp.float32),
-            "total_tokens": packed.total_tokens.astype(jnp.float32),
-            "type_token_counts": mod_mask.any(axis=2)
-            .sum(axis=(0, 2))
-            .astype(jnp.float32),
-            "elem_counts": tuple(elem_counts),
-            "inst_counts": tuple(inst_counts),
+            "kept": kept,
+            "total_tokens": total_tokens,
+            "type_token_counts": type_token_counts,
+            "elem_counts": jnp.asarray(elem_counts, jnp.float32),
+            "inst_counts": jnp.asarray(inst_counts, jnp.float32),
         }
 
     @staticmethod
@@ -1112,12 +1131,8 @@ class Transfusion:
             out["type_token_counts"] = (
                 out["type_token_counts"] + d["type_token_counts"]
             )
-            out["elem_counts"] = tuple(
-                a + b for a, b in zip(out["elem_counts"], d["elem_counts"])
-            )
-            out["inst_counts"] = tuple(
-                a + b for a, b in zip(out["inst_counts"], d["inst_counts"])
-            )
+            out["elem_counts"] = out["elem_counts"] + d["elem_counts"]
+            out["inst_counts"] = out["inst_counts"] + d["inst_counts"]
         return out
 
     def _get_jit(self, name, fn, **jit_kw):

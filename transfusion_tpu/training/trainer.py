@@ -279,17 +279,14 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _build_accum_fns(self):
-        import functools
-
         model = self.model
         delta = self.velocity_delta
 
-        @functools.partial(jax.jit, static_argnums=(5,))
-        def accum_grad(params, ema_params, packed, rng, scales_arr,
-                       scales_static):
-            scales = dict(scales_arr)
-            scales["elem_counts"], scales["inst_counts"] = scales_static
-
+        @jax.jit
+        def accum_grad(params, ema_params, packed, rng, scales):
+            # all scales (incl. elem/inst counts) are dynamic f32 arrays —
+            # a shape change in one microbatch retraces only its own call,
+            # never the sibling microbatches' cached traces
             def loss_fn(p):
                 return model._loss_impl(
                     p,
@@ -367,7 +364,6 @@ class Trainer:
             for p, k in zip(packed_mbs, keys)
         ]
         scales = self.model.sum_loss_denominators(denoms)
-        scales_static = (scales.pop("elem_counts"), scales.pop("inst_counts"))
 
         ema_params = state.ema.params if self.velocity_consistency else None
 
@@ -380,7 +376,7 @@ class Trainer:
         flow_losses = None
         for p, k in zip(packed_mbs, keys):
             l_m, bd_m, g_m = accum_grad(
-                state.params, ema_params, p, k, scales, scales_static
+                state.params, ema_params, p, k, scales
             )
             if grads is None:
                 loss, grads = l_m, g_m
