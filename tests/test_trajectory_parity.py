@@ -37,7 +37,7 @@ from test_torch_parity import (  # noqa: E402
 
 LR = 1e-3
 CLIP = 0.5
-N_STEPS = 6
+CURVE_STEPS = 300  # loss-CURVE parity length (VERDICT r4 #1)
 
 
 def _build(prob_uncond=0.0):
@@ -94,8 +94,12 @@ def _live_t(x):
     return torch.tensor(np.asarray(x), dtype=torch.float32)
 
 
-def test_text_trajectory_parity():
-    """N Adam steps on the text-only joint loss: per-step losses match."""
+def run_text_trajectory(n_steps: int):
+    """Run the text-only twin trajectory: the REAL Trainer.train_step vs
+    torch Adam + clip_grad_norm_ on identical weights/data. Returns
+    (losses_jax, losses_torch) as float lists — shared by the parity test
+    below and by scripts/record_traj_curves.py (which commits the curves
+    as results/curves_trajectory_text.jsonl)."""
     model, params = _build()
     rng = np.random.default_rng(0)
     batch = [
@@ -130,7 +134,7 @@ def test_text_trajectory_parity():
     total_tokens = float(np.asarray(packed.total_tokens))
 
     losses_j, losses_t = [], []
-    for i in range(N_STEPS):
+    for i in range(n_steps):
         state, metrics = trainer.train_step(
             state, packed, jax.random.PRNGKey(100 + i)
         )
@@ -154,17 +158,33 @@ def test_text_trajectory_parity():
             [p for p in _leaves(tparams) if p.requires_grad], CLIP
         )
         opt.step()
-
-    np.testing.assert_allclose(losses_j, losses_t, rtol=0, atol=2e-3)
-    # the trajectory must actually move (guard against a frozen optimizer
-    # making the comparison vacuous)
-    assert losses_j[-1] < losses_j[0] - 1e-3
+    return losses_j, losses_t
 
 
-@pytest.mark.slow
-def test_joint_trajectory_parity_with_velocity_ema():
-    """N steps of the joint loss (text CE + flow MSE + velocity leg) with
-    EMA updates on both sides, through the real Trainer."""
+def test_text_loss_curve_parity():
+    """CURVE_STEPS Adam steps on the text-only joint loss: the whole loss
+    CURVE matches the torch twin (VERDICT r4 #1 — 6-step granularity can
+    hide lr-schedule/EMA-warmup/accumulation drift; 300 steps of compounding
+    Adam+clip cannot). Measured divergence is ~1e-5 peak over the full run
+    (scripts/record_traj_curves.py artifact, results/curves_trajectory_
+    text.jsonl); the bound below gives ~20x headroom."""
+    losses_j, losses_t = run_text_trajectory(CURVE_STEPS)
+    lj, lt = np.asarray(losses_j), np.asarray(losses_t)
+    # explicit checkpoints (the VERDICT contract), then the full curve
+    for s in (50, 100, CURVE_STEPS):
+        assert abs(lj[s - 1] - lt[s - 1]) < 2e-4, (
+            f"step {s}: jax {lj[s-1]:.6f} vs torch {lt[s-1]:.6f}"
+        )
+    np.testing.assert_allclose(lj, lt, rtol=0, atol=2e-4)
+    # the trajectory must actually CONVERGE (guard against a frozen
+    # optimizer making the comparison vacuous): >90% loss reduction
+    assert lj[-1] < 0.1 * lj[0]
+
+
+def run_joint_trajectory(n_steps: int):
+    """Joint loss (text CE + flow MSE + velocity-EMA leg) twin trajectory
+    through the real Trainer — returns (losses_jax, losses_torch). Shared
+    by the slow-tier parity test and scripts/record_traj_curves.py."""
     model, params = _build()
     rng = np.random.default_rng(1)
     batch = [
@@ -223,7 +243,7 @@ def test_joint_trajectory_parity_with_velocity_ema():
     num_mods = (np.asarray(packed.spans)[..., 2] > 0).sum(-1)
 
     losses_j, losses_t = [], []
-    for i in range(N_STEPS):
+    for i in range(n_steps):
         step_key = jax.random.PRNGKey(100 + i)
         state, metrics = trainer.train_step(state, packed, step_key)
         losses_j.append(float(metrics["loss"]))
@@ -313,9 +333,24 @@ def test_joint_trajectory_parity_with_velocity_ema():
                     )
         else:
             ema_t = {k: v.detach().clone() for k, v in flat_now.items()}
+    return losses_j, losses_t
 
-    np.testing.assert_allclose(losses_j, losses_t, rtol=0, atol=3e-3)
-    assert losses_j[-1] < losses_j[0]
+
+@pytest.mark.slow
+def test_joint_trajectory_parity_with_velocity_ema():
+    """Joint-loss trajectory (text CE + flow MSE + velocity leg) with EMA
+    updates on both sides, through the real Trainer — the full curve
+    matches the torch twin. Exercises Adam bias correction, eps placement,
+    global-norm clipping, EMA warmup/cycle gating, and the velocity leg
+    over enough steps for drift to compound."""
+    losses_j, losses_t = run_joint_trajectory(60)
+    lj, lt = np.asarray(losses_j), np.asarray(losses_t)
+    for s in (10, 30, 60):
+        assert abs(lj[s - 1] - lt[s - 1]) < 3e-3, (
+            f"step {s}: jax {lj[s-1]:.6f} vs torch {lt[s-1]:.6f}"
+        )
+    np.testing.assert_allclose(lj, lt, rtol=0, atol=3e-3)
+    assert lj[-1] < lj[0]
 
 
 def _flat(tree, prefix=""):
