@@ -249,3 +249,63 @@ def test_serve_auto_dispatch_routes_and_matches_solo(monkeypatch):
         )
         got = eng.serve(prompts, budgets)
         assert got == want, force
+
+
+def test_engine_metrics_schema():
+    """metrics= wiring (VERDICT r4 #8): one JSONL row per tick with the
+    operator-facing schema, and admitted/retired counts that conserve the
+    workload."""
+    from transfusion_tpu.training.metrics import MetricsLogger
+
+    model = make_model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    log = MetricsLogger()
+    eng = ServingEngine(
+        model, params, max_batch=2, max_seq_len=256, decode_chunk=8,
+        temperature=0.0, metrics=log,
+    )
+    prompts = [[model.sos_id, 1], [model.sos_id, 2, 3], [model.sos_id, 4]]
+    for p in prompts:
+        eng.submit(np.asarray(p, np.int32), 5)
+    done = eng.run()
+    assert len(done) == len(prompts)
+    assert len(log.history) >= 2  # 3 requests through a 2-slot pool
+    want = {
+        "admitted", "retired", "chunk_k", "chunk_seconds",
+        "cost_model_residual_s", "emitted_tokens", "active_slots",
+        "queue_depth",
+    }
+    for row in log.history:
+        assert want <= set(row), sorted(want - set(row))
+    assert sum(r["admitted"] for r in log.history) == len(prompts)
+    assert sum(r["retired"] for r in log.history) == len(prompts)
+    assert sum(r["emitted_tokens"] for r in log.history) == 5 * len(prompts)
+
+
+def test_static_step_at_refits_dispatch_ratio():
+    """warmup(fit_cap_slope=True) replaces the hardcoded STATIC_STEP_RATIO
+    with a measured capacity slope: static_step_at(cap) must interpolate
+    between the engine's own step cost (cap == engine cap -> no dead slots)
+    and a floored fraction of it, and plan_dispatch must accept the
+    override (VERDICT r4 weak #4)."""
+    from transfusion_tpu.models.serving import plan_dispatch
+
+    model = make_model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    eng = ServingEngine(
+        model, params, max_batch=2, max_seq_len=256, decode_chunk=8,
+        temperature=0.0,
+    )
+    assert eng.static_step_at(128) is None  # unfitted -> fallback constant
+    eng.warmup(fit_cap_slope=True)
+    if eng._cap_slope is None:
+        pytest.skip("slope fit rejected as noise on this host")
+    full = eng.static_step_at(eng.cap)
+    small = eng.static_step_at(128)
+    assert abs(full - eng._step_est) < 1e-12
+    assert 0 < small <= full
+    assert small >= 0.2 * eng._step_est  # floor
+    # the planner consumes the measured value
+    assert plan_dispatch(
+        [16] * 4, 2, eng._rtt_est, eng._step_est, static_step_s=small
+    ) in ("engine", "static")

@@ -122,3 +122,126 @@ def test_mm_engine_submit_capacity_assert():
     )
     with pytest.raises(AssertionError, match="raise max_seq_len"):
         eng.submit([np.zeros(200, np.int32)], max_length=4)
+
+
+def test_mm_engine_warmup_inert_and_cost_model():
+    """warmup() precompiles the chunk ladder / pick / grouped-ODE /
+    admission traces and fits+freezes the dispatch-cost model WITHOUT
+    touching live pool state: serving after warmup must still match solo
+    sample() exactly (VERDICT r4 #2 — the text engine's warmup contract,
+    ported)."""
+    m = small_model()
+    params = m.init_params(jax.random.PRNGKey(0))
+    prompts = make_prompts(m)
+
+    kw = dict(
+        max_length=6, text_temperature=0.0, text_min_p=0.0,
+        init_modality_noise=PIN_NOISE, modality_steps=3, cfg_scale=1.0,
+        return_unprocessed_modalities=True,
+    )
+    eng = MultimodalServingEngine.for_workload(
+        m, params, prompts, 6, max_requests=2,
+        cfg_scale=1.0, modality_steps=3, text_temperature=0.0,
+        text_min_p=0.0, init_modality_noise=PIN_NOISE,
+        return_unprocessed_modalities=True, rng=jax.random.PRNGKey(1),
+    )
+    eng.warmup()
+    assert eng._cost_frozen
+    # chunk ladder: one clean sample per pow2 length <= text_chunk
+    k = 1
+    while k <= eng.text_chunk:
+        assert k in eng._chunk_samples, f"chunk {k} never warmed"
+        assert len(eng._chunk_samples[k]) >= 2  # first = compile, excluded
+        k <<= 1
+    # grouped-ODE cost measured for the default modality shape
+    assert eng.ode_cost() is not None and eng.ode_cost() > 0
+    shp = tuple(m.modalities[0].default_shape)
+    assert (0, shp) in eng._ode_samples
+
+    rids = [eng.submit(p, max_length=6) for p in prompts]
+    fin = {f.rid: f.output for f in eng.run()}
+    for rid, p in zip(rids, prompts):
+        assert_items_equal(fin[rid], solo(m, params, p, **kw), 2e-5)
+
+
+def test_mm_engine_serve_auto_dispatch(monkeypatch):
+    """serve() routes through plan_dispatch_mm and BOTH routes produce the
+    solo results in submission order."""
+    import transfusion_tpu.models.engine_mm as engmm
+
+    m = small_model()
+    params = m.init_params(jax.random.PRNGKey(0))
+    prompts = make_prompts(m)
+    kw = dict(
+        max_length=6, text_temperature=0.0, text_min_p=0.0,
+        init_modality_noise=PIN_NOISE, modality_steps=3, cfg_scale=1.0,
+        return_unprocessed_modalities=True,
+    )
+
+    def run_forced(plan):
+        eng = MultimodalServingEngine.for_workload(
+            m, params, prompts, 6, max_requests=2,
+            cfg_scale=1.0, modality_steps=3, text_temperature=0.0,
+            text_min_p=0.0, init_modality_noise=PIN_NOISE,
+            return_unprocessed_modalities=True, rng=jax.random.PRNGKey(1),
+        )
+        import transfusion_tpu.models.serving as serving
+        monkeypatch.setattr(
+            serving, "plan_dispatch_mm", lambda *a, **k: plan
+        )
+        return eng.serve(prompts, 6)
+
+    solos = [solo(m, params, p, **kw) for p in prompts]
+    for plan in ("engine", "waves"):
+        outs = run_forced(plan)
+        assert len(outs) == len(prompts)
+        for got, want in zip(outs, solos):
+            assert_items_equal(got, want, 2e-5)
+
+
+def test_mm_engine_metrics_schema():
+    """metrics= wiring (VERDICT r4 #8): every engine tick logs one JSONL row
+    with the operator-facing schema (admitted/retired/chunk choice/cost-model
+    residual/ode groups/queue state)."""
+    from transfusion_tpu.training.metrics import MetricsLogger
+
+    m = small_model()
+    params = m.init_params(jax.random.PRNGKey(0))
+    prompts = make_prompts(m)
+    log = MetricsLogger()
+    eng = MultimodalServingEngine.for_workload(
+        m, params, prompts, 6, max_requests=2,
+        cfg_scale=1.0, modality_steps=2, text_temperature=0.0,
+        init_modality_noise=PIN_NOISE, rng=jax.random.PRNGKey(1),
+        metrics=log,
+    )
+    fin = eng.run(prompts, max_length=6)
+    assert len(fin) == len(prompts)
+    assert len(log.history) >= 1
+    want = {
+        "admitted", "retired", "chunk_k", "chunk_seconds",
+        "cost_model_residual_s", "ode_groups", "seg_ewma", "active_slots",
+        "queue_depth",
+    }
+    for row in log.history:
+        assert want <= set(row), sorted(want - set(row))
+    # conservation: every request admitted and retired exactly once
+    assert sum(r["admitted"] for r in log.history) == len(prompts)
+    assert sum(r["retired"] for r in log.history) == len(prompts)
+
+
+def test_mm_engine_kv_auto_policy():
+    """kv_quantize=None (the default) must resolve through the measured
+    serving auto-policy — the engine's cache layout equals what
+    _resolve_serving_plan picks for (cap, rows), and an explicit override
+    is honored (VERDICT r4 #7)."""
+    m = small_model()
+    params = m.init_params(jax.random.PRNGKey(0))
+    eng = MultimodalServingEngine(
+        m, params, max_requests=2, max_seq_len=128,
+    )
+    q, t = m._resolve_serving_plan(eng.cap, eng.rows, None)
+    assert bool(eng._quantize) == bool(q)
+    assert eng._transposed == t
+    assert ("k_scale" in eng.cache) == bool(q)
+    assert ("kT" in eng.cache) == bool(t)

@@ -141,3 +141,48 @@ def test_estimate_times_are_sane():
     e2 = estimate_engine_time([256 if i % 8 == 0 else 16 for i in range(48)],
                               8, rtt, step)
     assert e2 < s2
+
+
+# ---------------------------------------------------------------------------
+# mm-engine-vs-waves dispatch planning (r5)
+# ---------------------------------------------------------------------------
+
+
+def test_plan_dispatch_mm_workloads():
+    """The mm planner must reproduce the measured r4 probe outcome and the
+    clustered counter-case. probe_engine_mm.py's deep skewed queue (24 req
+    on an 8-pool: 21 cheap 24-token text + 3 forced-image requests whose
+    196-latent segment drags every wave's max_length to 236) measured the
+    engine at 2.19x -> engine. A clustered pool-sized batch of equal text
+    budgets has no straggler skew for continuous admission to exploit ->
+    waves."""
+    from transfusion_tpu.models.serving import _simulate_mm, plan_dispatch_mm
+
+    rtt, step, ode = 0.03, 0.002, 1.0
+    probe = ([(24, 0)] * 7 + [(40, 1)]) * 3  # 24 req, 3 with one segment
+    assert plan_dispatch_mm(
+        probe, 8, rtt, step, ode, seg_tokens=196
+    ) == "engine"
+
+    clustered = [(64, 0)] * 8
+    assert plan_dispatch_mm(
+        clustered, 8, rtt, step, ode, seg_tokens=196
+    ) == "waves"
+
+    # mild text-budget skew, one wave: continuous admission only adds
+    # dispatches (the r3 text-engine lesson, 0.49x pre-cost-model)
+    mild = [(t, 0) for t in (48, 56, 64, 64, 72, 80, 88, 96)]
+    assert plan_dispatch_mm(mild, 8, rtt, step, ode) == "waves"
+
+    # degenerate: empty queue
+    assert plan_dispatch_mm([], 8) == "waves"
+
+    # the simulator's wave semantics: a wave member inherits the wave's max
+    # TOTAL budget (sample_batch takes one max_length over text+modality),
+    # so waves pay straggler text on cheap members — engine time must be
+    # budget-faithful (less than waves on the probe shape)
+    e = _simulate_mm(probe, 8, rtt, step, ode, waves=False, max_chunk=64,
+                     seg_tokens=196)
+    w = _simulate_mm(probe, 8, rtt, step, ode, waves=True, max_chunk=64,
+                     seg_tokens=196)
+    assert e < w

@@ -117,6 +117,9 @@ class ServingEngine:
         kv_quantize: Optional[bool] = None,  # None = measured auto-policy
         eos_id: Optional[int] = None,
         rng=None,
+        metrics=None,  # optional training.metrics.MetricsLogger: per-tick
+        # JSONL (admitted/retired/chunk k/cost-model residual) so an
+        # operator can see WHY the model picked a chunk
     ):
         from transfusion_tpu.models.transformer import make_kv_cache
 
@@ -163,9 +166,15 @@ class ServingEngine:
         self._chunk_samples = {}
         self._rtt_est = 0.030
         self._step_est = 0.002
+        self._cap_slope = None  # d(step_s)/d(cache slot), fitted by
+        # warmup(fit_cap_slope=True); feeds static_step_at so the
+        # engine-vs-static decision uses a measured ratio, not the
+        # STATIC_STEP_RATIO fallback constant
         self._cost_frozen = False  # warmup() freezes the fit: chunk plans
         # (and hence admission groupings -> compiled dispatch set) stay
         # deterministic across runs
+        self.metrics = metrics
+        self._tick = 0
 
     @classmethod
     def for_workload(cls, model, params, prompts, budgets, *, max_batch,
@@ -406,7 +415,7 @@ class ServingEngine:
             rem, self._rtt_est, self._step_est, self.decode_chunk
         )
 
-    def warmup(self):
+    def warmup(self, fit_cap_slope: bool = True):
         """Compile the decode dispatch for EVERY pow2 chunk length up to
         decode_chunk and collect one clean timing sample per length (the
         compile call is excluded — it is the bucket's first sample).
@@ -417,7 +426,14 @@ class ServingEngine:
         the middle of serving. Production engines should warm the full
         ladder once; all runs are fully inert (active mask all-False:
         validity masked, idx pinned, payload discarded), so the pool state
-        is untouched."""
+        is untouched.
+
+        fit_cap_slope: additionally time one chunk length against a
+        half-capacity scratch pool and fit d(step)/d(cap) — the measured
+        basis for `static_step_at` (static decode runs on exactly-sized
+        caches, so its per-token cost is the engine's minus the dead-slot
+        attention tax). Costs one extra compile; skipped when cap < 256.
+        """
         zeros_i = jnp.zeros((self.max_batch,), jnp.int32)
         inert = jnp.zeros((self.max_batch,), bool)
         k = 1
@@ -435,13 +451,59 @@ class ServingEngine:
                     )
             k <<= 1
         self._fit_cost_model()
+
+        if fit_cap_slope and self.cap >= 256:
+            from transfusion_tpu.models.transformer import make_kv_cache
+
+            half = self.cap // 2
+            cfg = self.model.transformer_cfg
+            scratch = make_kv_cache(
+                cfg["depth"], self.max_batch, cfg.get("heads", 8), half,
+                cfg.get("dim_head", 64), dtype=self.model.dtype,
+                track_mask=True,
+                quantize="int8" if "k_scale" in self.cache else None,
+                transposed="kT" in self.cache,
+            )
+            scratch["idx"] = jnp.zeros((self.max_batch,), jnp.int32)
+            scratch["mask"] = jnp.zeros((self.max_batch, half), bool)
+            scratch_logits = jnp.zeros_like(self.last_logits)
+            k_ref = 1 << ((min(self.decode_chunk, 64)) - 1).bit_length()
+            t_half = None
+            for first in (True, False):
+                t0 = time.perf_counter()
+                scratch, scratch_logits, payload = self._decode()(
+                    self.params, scratch, scratch_logits,
+                    inert, zeros_i, zeros_i, zeros_i, k_ref,
+                )
+                np.asarray(payload)
+                if not first:
+                    t_half = time.perf_counter() - t0
+            step_half = max((t_half - self._rtt_est) / k_ref, 1e-6)
+            slope = (self._step_est - step_half) / (self.cap - half)
+            # negative slope = noise (half-cap measured slower): keep None
+            # and fall back to the STATIC_STEP_RATIO constant
+            self._cap_slope = slope if slope > 0 else None
+
         self._cost_frozen = True
+
+    def static_step_at(self, cap: int) -> Optional[float]:
+        """Measured static-path per-token cost for a decode scan over an
+        exactly-sized cache of `cap` slots: the fitted step cost minus the
+        fitted cap slope times the dead slots. None before
+        warmup(fit_cap_slope=True) — callers then fall back to
+        serving.STATIC_STEP_RATIO."""
+        if self._cap_slope is None:
+            return None
+        est = self._step_est - self._cap_slope * max(self.cap - cap, 0)
+        return max(est, 0.2 * self._step_est)
 
     def step(self):
         """One engine tick: admit pending requests into free slots, then
         decode one adaptively-sized chunk for every active slot. Returns
         the requests that finished this tick."""
+        admitted_before = self.stats["admitted"]
         self._admit_pending()
+        n_admitted = self.stats["admitted"] - admitted_before
         finished = []
         if not self.active.any():
             return finished
@@ -472,6 +534,7 @@ class ServingEngine:
         self.stats["decode_time_s"] += elapsed
         self.stats["decode_chunks"] += 1
 
+        emitted_total = 0
         for slot in range(self.max_batch):
             if not self.active[slot]:
                 continue
@@ -481,11 +544,26 @@ class ServingEngine:
                     break
                 r.tokens.append(int(toks[slot, j]))
                 self.stats["generated_tokens"] += 1
+                emitted_total += 1
             self.active[slot] = bool(active_f[slot])
             if not self.active[slot]:
                 r.done = True
                 finished.append(r)
                 self.slots[slot] = None
+
+        if self.metrics is not None:
+            self._tick += 1
+            predicted = self._rtt_est + k * self._step_est
+            self.metrics.log(self._tick, {
+                "admitted": n_admitted,
+                "retired": len(finished),
+                "chunk_k": k,
+                "chunk_seconds": elapsed,
+                "cost_model_residual_s": elapsed - predicted,
+                "emitted_tokens": emitted_total,
+                "active_slots": int(self.active.sum()),
+                "queue_depth": len(self.queue),
+            })
         return finished
 
     def serve(self, prompts, max_new_tokens):
@@ -507,8 +585,15 @@ class ServingEngine:
             else [int(max_new_tokens)] * len(prompts)
         )
         assert len(budgets) == len(prompts)
+        # static runs exactly-sized caches: its per-token cost at the
+        # workload's natural capacity comes from the warmup-fitted cap
+        # slope (None -> plan_dispatch's STATIC_STEP_RATIO fallback)
+        static_cap = -(-max(
+            int(np.asarray(p).size) + b for p, b in zip(prompts, budgets)
+        ) // 128) * 128
         plan = plan_dispatch(
             budgets, self.max_batch, self._rtt_est, self._step_est,
+            static_step_s=self.static_step_at(static_cap),
             max_chunk=self.decode_chunk,
         )
         if plan == "static":

@@ -48,6 +48,7 @@ size the pool right for production.
 from __future__ import annotations
 
 import math
+import time
 from collections import deque
 from functools import partial
 from typing import Optional
@@ -134,10 +135,16 @@ class MultimodalServingEngine:
         text_min_p: float = 0.1,
         fixed_modality_shape: Optional[tuple] = None,
         init_modality_noise=None,  # pinned segment noise (parity testing)
-        text_chunk: int = 32,
+        text_chunk: int = 64,  # MAX text tokens per decode dispatch; the
+        # actual chunk is chosen per tick by the fitted dispatch-cost model
+        # (choose_chunk over the pow2 ladder, capped by the observed
+        # text-segment-length EWMA — segments end at som, so streaming past
+        # the expected som is wasted scan compute)
         kv_quantize: Optional[bool] = None,
         return_unprocessed_modalities: bool = False,
         rng=None,
+        metrics=None,  # optional training.metrics.MetricsLogger: per-tick
+        # JSONL (admitted/retired/chunk k/cost residual/ode groups)
     ):
         assert model.num_text_tokens > 0, (
             "the multimodal engine drives sample()'s AR text machinery — "
@@ -192,6 +199,23 @@ class MultimodalServingEngine:
             "modality_tokens": 0, "text_chunks": 0, "ode_dispatches": 0,
             "rebuilds": 0,
         }
+        # measured dispatch-cost model (same scheme as ServingEngine):
+        # per-bucket (k, elapsed) chunk samples, first sample per bucket
+        # excluded (it contains that static length's jit compile); ODE
+        # costs per (mid, shape) — one grouped dispatch serves every
+        # parked member, so its cost is workload-independent data
+        self._chunk_samples = {}
+        self._rtt_est = 0.030
+        self._step_est = 0.002
+        self._ode_samples = {}  # (mid, shape) -> [seconds, ...]
+        self._cost_frozen = False
+        # EWMA of observed text-segment lengths (tokens from segment start
+        # to som/eos) — caps the chunk chooser's per-row useful-token
+        # estimate; None until the first segment completes
+        self._seg_ewma = None
+        self._seg_start = {}  # rid -> n_sampled at current segment start
+        self.metrics = metrics
+        self._tick = 0
 
     @classmethod
     def for_workload(
@@ -230,6 +254,19 @@ class MultimodalServingEngine:
 
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _pow2_splits(n: int):
+        """Split a group of n into pow2-sized subgroups (largest first):
+        bounds the compiled (width, nb) admission-trace set to
+        O(log R x log widths), all warmable by `warmup()` — an arbitrary
+        nb would compile a fresh prefill trace mid-serve."""
+        out = []
+        while n > 0:
+            p = 1 << (n.bit_length() - 1)
+            out.append(p)
+            n -= p
+        return out
+
     def _admit_pending(self):
         mult = self.model.pad_multiple
         groups = {}
@@ -242,7 +279,13 @@ class MultimodalServingEngine:
             groups.setdefault(
                 _bucket_len(max(ent.req.tok_count, 1), mult), []
             ).append((slot, ent))
+        subgroups = []
         for width, pairs in groups.items():
+            i = 0
+            for sz in self._pow2_splits(len(pairs)):
+                subgroups.append((width, pairs[i : i + sz]))
+                i += sz
+        for width, pairs in subgroups:
             batch_items = [ent.req.items for _, ent in pairs]
             if self.use_cfg:
                 batch_items += [
@@ -275,6 +318,7 @@ class MultimodalServingEngine:
                 ent.req.pending = None
                 _transition(self.model, ent.req, self.fixed_modality_shape)
                 self.slots[slot] = ent
+                self._seg_start[ent.rid] = 0
                 self.stats["admitted"] += 1
 
     def _rebuild(self, new_cap: int):
@@ -339,11 +383,302 @@ class MultimodalServingEngine:
             jax.random.fold_in(self.rng, rid), n_sampled
         )
 
+    # ------------------------------------------------------------------
+    # measured dispatch-cost model (VERDICT r4 #2: the text engine's
+    # warmup/chunk-chooser/auto-dispatch stack, ported)
+    # ------------------------------------------------------------------
+
+    def _fit_cost_model(self):
+        """Least-squares (rtt, step) from clean chunk timings — same
+        estimator as ServingEngine._fit_cost_model."""
+        pts = []
+        for k, ts in self._chunk_samples.items():
+            pts.extend((k, t) for t in ts[1:])
+        if len({k for k, _ in pts}) >= 2 and len(pts) >= 3:
+            ks = np.array([p[0] for p in pts], np.float64)
+            ts = np.array([p[1] for p in pts], np.float64)
+            step, rtt = np.polyfit(ks, ts, 1)
+            if step > 0 and rtt > 0:
+                self._step_est, self._rtt_est = float(step), float(rtt)
+
+    def _note_segment(self, rid: int, n_sampled: int):
+        """A request's text segment just ended (som park / eos / budget):
+        fold its length into the segment-length EWMA that caps the chunk
+        chooser."""
+        seg = n_sampled - self._seg_start.get(rid, 0)
+        self._seg_start[rid] = n_sampled
+        if seg <= 0:
+            return
+        if self._seg_ewma is None:
+            self._seg_ewma = float(seg)
+        else:
+            self._seg_ewma = 0.8 * self._seg_ewma + 0.2 * float(seg)
+
+    def _seg_cap(self) -> Optional[int]:
+        """Expected useful tokens per streaming row before its som lands
+        (1.5x EWMA + headroom; None until a segment has been observed)."""
+        if self._seg_ewma is None:
+            return None
+        return max(4, int(self._seg_ewma * 1.5) + 2)
+
+    def _chunk_len(self, stream) -> int:
+        """Adaptive text-chunk length: maximize useful tokens/sec under the
+        fitted rtt + k*step dispatch cost (engine.choose_chunk), with each
+        row's useful-token estimate capped at its budget AND the observed
+        segment-length EWMA (rows stop in-scan at som — streaming far past
+        the expected som is pure wasted scan compute)."""
+        from transfusion_tpu.models.engine import choose_chunk
+
+        if not self._cost_frozen:
+            self._fit_cost_model()
+        cap = self._seg_cap()
+        rem = []
+        for i in stream:
+            ent = self.slots[i]
+            r = ent.req
+            if r.parked or r.done:
+                rem.append(1)  # flush-only row
+                continue
+            b = ent.max_length - r.curr_length + 1
+            rem.append(min(b, cap) if cap is not None else b)
+        return choose_chunk(
+            rem, self._rtt_est, self._step_est, self.text_chunk
+        )
+
+    def ode_cost(self, mid=0, shape=None) -> Optional[float]:
+        """Measured seconds for one grouped ODE dispatch (integrate +
+        condition + fetch) at (mid, shape); falls back to the mean over all
+        measured groups, then None (unmeasured — run warmup(shapes=...))."""
+        if shape is not None:
+            ts = self._ode_samples.get((mid, tuple(shape)))
+            if ts:
+                return float(np.mean(ts))
+        all_ts = [t for ts in self._ode_samples.values() for t in ts]
+        return float(np.mean(all_ts)) if all_ts else None
+
+    def warmup(self, shapes=None, prompt_widths=None, group_sizes=None):
+        """Precompile every trace the serve loop can request and fit the
+        dispatch-cost model; freeze it so chunk plans stay deterministic.
+
+        Without warmup, the fitted chunk chooser can request a chunk
+        length no prior tick compiled — a multi-second remote compile
+        landing mid-serve (the r4 text-engine lesson). Warms:
+
+        * the text-chunk ladder (every pow2 k <= text_chunk), timed inert
+          (active mask all-False) — fits (rtt, step);
+        * the pick trace;
+        * one grouped ODE + conditioning trace per (mid, shape) in
+          `shapes` (default: every modality's default shape), timed inert
+          — the ODE leg of the cost model;
+        * admission prefill traces for every (width, pow2 group size)
+          in `prompt_widths` x `group_sizes` (defaults: the pad_multiple
+          bucket x all pow2 sizes <= max_requests), run against a
+          THROWAWAY copy of the pool so live state is untouched.
+        """
+        model, R, rows = self.model, self.R, self.rows
+
+        # ---- text chunk ladder ----
+        toks0 = jnp.zeros((R,), jnp.int32)
+        pos0 = jnp.zeros((rows,), jnp.int32)
+        inert = jnp.zeros((R,), bool)
+        rem = jnp.ones((R,), jnp.int32)
+        k = 1
+        while k <= self.text_chunk:
+            fn = model._get_jit(
+                "sampleb_chunk", partial(_chunk_tick_impl, model),
+                static_argnames=(
+                    "temperature", "min_p", "R", "k", "stop_ids"
+                ),
+                donate_argnums=(1,),
+            )
+            for first in (True, False):
+                t0 = time.perf_counter()
+                payload, self.cache = fn(
+                    self.params, self.cache, toks0, pos0, inert, rem,
+                    self.rng, toks0, toks0,
+                    temperature=self.text_temperature,
+                    min_p=self.text_min_p,
+                    R=R, k=k, stop_ids=self._stop_ids,
+                )
+                np.asarray(payload)  # force completion (tunnel ack)
+                if not first:
+                    self._chunk_samples.setdefault(k, []).extend(
+                        [0.0, time.perf_counter() - t0]
+                    )
+            k <<= 1
+        self._fit_cost_model()
+
+        # ---- pick trace ----
+        fn = model._get_jit(
+            "sampleb_pick", partial(_pick_impl, model),
+            static_argnames=("temperature", "min_p"),
+        )
+        np.asarray(fn(
+            self.last_logits, jnp.stack([jax.random.PRNGKey(0)] * R),
+            temperature=self.text_temperature, min_p=self.text_min_p,
+        ))
+
+        # ---- grouped ODE per (mid, shape) ----
+        if shapes is None:
+            shapes = [
+                (mid, tuple(mc.default_shape))
+                for mid, mc in enumerate(model.modalities)
+                if mc.default_shape is not None
+            ]
+        for mid, shape in shapes:
+            mc = model.modalities[mid]
+            spatial = tuple(shape)
+            L = int(math.prod(model.seq_shape_for(mid, spatial)))
+            noise = jnp.zeros((R, *spatial, mc.dim_latent), jnp.float32)
+            member = jnp.zeros((rows,), bool)
+            p0 = jnp.zeros((rows,), jnp.int32)
+            ofn = model._get_jit(
+                "sampleb_ode", partial(_ode_impl, model),
+                static_argnames=("mid", "L", "steps", "use_cfg", "R"),
+            )
+            afn = model._get_jit(
+                "sampleb_append", partial(_append_impl, model),
+                static_argnames=("mid", "L", "R"),
+                donate_argnums=(1,),
+            )
+            for first in (True, False):
+                t0 = time.perf_counter()
+                sampled = ofn(
+                    self.params, self.cache, noise, p0, member,
+                    jnp.float32(self.cfg_scale),
+                    mid=mid, L=L, steps=self.modality_steps,
+                    use_cfg=self.use_cfg, R=R,
+                )
+                self.cache = afn(
+                    self.params, self.cache, sampled, p0, member,
+                    mid=mid, L=L, R=R,
+                )
+                np.asarray(sampled)
+                if not first:
+                    self._ode_samples.setdefault(
+                        (mid, spatial), []
+                    ).append(time.perf_counter() - t0)
+
+        # ---- admission traces against a throwaway pool copy ----
+        if prompt_widths is None:
+            prompt_widths = [
+                _bucket_len(1, model.pad_multiple)
+            ]
+        if group_sizes is None:
+            group_sizes, g = [], 1
+            while g <= R:
+                group_sizes.append(g)
+                g <<= 1
+        dummy = np.asarray([model.sos_id], np.int32)
+        for width in prompt_widths:
+            for nb in group_sizes:
+                batch_items = [[dummy.copy()] for _ in range(nb)]
+                if self.use_cfg:
+                    batch_items += [
+                        _uncond_of(model, it) for it in batch_items[:nb]
+                    ]
+                packed = model.pack(
+                    batch_items, wrap_sos_eos=False, add_meta=False,
+                    pad_multiple=width,
+                )
+                slots_c = np.arange(nb, dtype=np.int32)
+                slots_all = (
+                    np.concatenate([slots_c, R + slots_c])
+                    if self.use_cfg
+                    else slots_c
+                )
+                fn = model._get_jit(
+                    "mmeng_admit", partial(_admit_impl, model),
+                    static_argnames=("cap", "quantize", "transposed"),
+                    donate_argnums=(1, 2),
+                )
+                scratch = {
+                    kk: jnp.array(v, copy=True)
+                    for kk, v in self.cache.items()
+                }
+                scratch_logits = jnp.array(self.last_logits, copy=True)
+                out_pool, out_logits = fn(
+                    self.params, scratch, scratch_logits,
+                    jax.tree.map(jnp.asarray, packed),
+                    jnp.asarray(slots_c), jnp.asarray(slots_all),
+                    cap=self.cap, quantize=bool(self._quantize),
+                    transposed=self._transposed,
+                )
+                np.asarray(out_logits)  # force; then discard the copy
+
+        self._cost_frozen = True
+
+    def serve(self, prompts, max_length, *, expected_segments: float = 1.0):
+        """Auto-dispatched multimodal batch serving: choose continuous
+        batching or fixed `sample_batch` waves from the fitted dispatch
+        cost model (serving.plan_dispatch_mm) and return one decoded
+        result list per prompt, in order.
+
+        expected_segments: predicted modality segments per request (the
+        planner's workload descriptor; actual counts are data-dependent).
+        Requires warmup() for a measured ODE cost — unmeasured engines
+        plan with a conservative default.
+        """
+        from transfusion_tpu.models.sample_batch import sample_batch
+        from transfusion_tpu.models.serving import plan_dispatch_mm
+
+        max_length = int(max_length)
+        # text budget per request ~= total budget minus expected modality
+        # tokens (each segment occupies L slots of the length budget)
+        L_est = 0
+        if self.model.modalities:
+            mid0 = 0
+            shp = (
+                tuple(self.fixed_modality_shape)
+                if self.fixed_modality_shape is not None
+                else tuple(self.model.modalities[mid0].default_shape or ())
+            )
+            if shp:
+                L_est = int(
+                    math.prod(self.model.seq_shape_for(mid0, shp))
+                )
+        text_budget = max(
+            8, max_length - int(expected_segments * L_est)
+        )
+        ode_s = self.ode_cost()
+        reqs = [(text_budget, expected_segments)] * len(prompts)
+        plan = plan_dispatch_mm(
+            reqs, self.R, self._rtt_est, self._step_est,
+            ode_s if ode_s is not None else 0.5,
+            max_chunk=self.text_chunk, seg_cap=self._seg_cap(),
+            seg_tokens=L_est,
+        )
+        if plan == "waves":
+            out = []
+            for i in range(0, len(prompts), self.R):
+                grp = list(prompts[i : i + self.R])
+                outs = sample_batch(
+                    self.model, self.params, grp, rng=self.rng,
+                    max_length=max_length,
+                    text_temperature=self.text_temperature,
+                    text_min_p=self.text_min_p,
+                    fixed_modality_shape=self.fixed_modality_shape,
+                    init_modality_noise=self.init_modality_noise,
+                    modality_steps=self.modality_steps,
+                    cfg_scale=self.cfg_scale,
+                    kv_quantize=self._kv_quantize_arg,
+                    return_unprocessed_modalities=self.return_unprocessed,
+                    text_chunk=self.text_chunk,
+                )
+                out.extend(outs)
+            return out
+        rids = [self.submit(p, max_length) for p in prompts]
+        by_rid = {f.rid: f.output for f in self.run()}
+        return [by_rid[rid] for rid in rids]
+
     def step(self):
         """One engine tick: admit, advance text rows one chunk, integrate
         one round of modality groups, retire. Returns FinishedRequests."""
         model, R, rows = self.model, self.R, self.rows
+        admitted_before = self.stats["admitted"]
+        tick_chunk_k, tick_chunk_s, tick_ode = 0, 0.0, 0
         self._admit_pending()
+        n_admitted = self.stats["admitted"] - admitted_before
         live = [
             i for i in range(R)
             if self.slots[i] is not None and not self.slots[i].req.done
@@ -379,6 +714,8 @@ class MultimodalServingEngine:
                     model, ent.req, int(picks[i]), self.fixed_modality_shape
                 )
                 self.stats["text_tokens"] += 1
+                if ent.req.done or ent.req.parked:
+                    self._note_segment(ent.rid, ent.req.n_sampled)
             self._retire_overlong()
 
         # ---- chunked text decode (in-scan stop at som/eos/budget) ------
@@ -407,8 +744,7 @@ class MultimodalServingEngine:
                 seeds[i] = ent.rid
                 if self.use_cfg:
                     pos0[R + i] = pos0[i]
-            max_rem = int(max(rem[i] for i in stream))
-            k = 1 << (min(max_rem, self.text_chunk) - 1).bit_length()
+            k = self._chunk_len(stream)
             fn = model._get_jit(
                 "sampleb_chunk", partial(_chunk_tick_impl, model),
                 static_argnames=(
@@ -416,6 +752,7 @@ class MultimodalServingEngine:
                 ),
                 donate_argnums=(1,),
             )
+            t0 = time.perf_counter()
             payload, self.cache = fn(
                 self.params, self.cache, jnp.asarray(toks0),
                 jnp.asarray(pos0), jnp.asarray(act0), jnp.asarray(rem),
@@ -424,6 +761,10 @@ class MultimodalServingEngine:
                 R=R, k=k, stop_ids=self._stop_ids,
             )
             payload = np.asarray(payload)  # one host fetch per chunk
+            elapsed = time.perf_counter() - t0
+            if not self._cost_frozen:
+                self._chunk_samples.setdefault(k, []).append(elapsed)
+            tick_chunk_k, tick_chunk_s = k, elapsed
             toks_e = payload[:, :k]
             emits = payload[:, k:].astype(bool)
             self.stats["text_chunks"] += 1
@@ -443,6 +784,7 @@ class MultimodalServingEngine:
                         )
                         self.stats["text_tokens"] += 1
                         if r.done or r.parked:
+                            self._note_segment(ent.rid, r.n_sampled)
                             break
             self._retire_overlong()
 
@@ -505,6 +847,7 @@ class MultimodalServingEngine:
                 "sampleb_ode", partial(_ode_impl, model),
                 static_argnames=("mid", "L", "steps", "use_cfg", "R"),
             )
+            t0 = time.perf_counter()
             sampled = fn(
                 self.params, self.cache, jnp.asarray(noise),
                 jnp.asarray(p0), jnp.asarray(member_mask),
@@ -522,6 +865,11 @@ class MultimodalServingEngine:
                 jnp.asarray(member_mask), mid=mid, L=L, R=R,
             )
             sampled_np = np.asarray(sampled)  # one fetch per group
+            if not self._cost_frozen:
+                self._ode_samples.setdefault((mid, spatial), []).append(
+                    time.perf_counter() - t0
+                )
+            tick_ode += 1
             self.stats["ode_dispatches"] += 1
 
             from transfusion_tpu.data.packing import to_user_layout
@@ -546,7 +894,28 @@ class MultimodalServingEngine:
                 self.stats["modality_tokens"] += L
             self._retire_overlong()
 
-        return self._collect_finished()
+        finished = self._collect_finished()
+        if self.metrics is not None:
+            self._tick += 1
+            predicted = (
+                self._rtt_est + tick_chunk_k * self._step_est
+                if tick_chunk_k else 0.0
+            )
+            self.metrics.log(self._tick, {
+                "admitted": n_admitted,
+                "retired": len(finished),
+                "chunk_k": tick_chunk_k,
+                "chunk_seconds": tick_chunk_s,
+                "cost_model_residual_s": tick_chunk_s - predicted,
+                "ode_groups": tick_ode,
+                "seg_ewma": self._seg_ewma or 0.0,
+                "active_slots": sum(
+                    1 for s in self.slots
+                    if s is not None and not s.req.done
+                ),
+                "queue_depth": len(self.queue),
+            })
+        return finished
 
     def _collect_finished(self):
         finished = []
