@@ -341,3 +341,46 @@ def test_odeint_adaptive_reaches_endpoint_on_step_exhaustion():
     fn = lambda t, y: jnp.ones_like(y)  # dy/dt = 1 -> y(1) = y0 + 1
     y = odeint_adaptive(fn, jnp.zeros((4,)), 0.0, 1.0, max_steps=1)
     np.testing.assert_allclose(np.asarray(y), np.ones(4), atol=1e-5)
+
+
+def test_odeint_adaptive_rows_placement_invariant():
+    """Per-row adaptive control (serving contract): a row integrated
+    alongside a STIFFER co-tenant must produce bit-identical results to the
+    same row integrated alone — the controller's accept/step decisions are
+    per-row, never coupled across the batch (ops/odeint.py
+    odeint_adaptive_rows)."""
+    from transfusion_tpu.ops.odeint import (
+        odeint_adaptive,
+        odeint_adaptive_rows,
+    )
+
+    rates = jnp.array([1.0, 25.0])  # row 1 is much stiffer
+
+    def fn(t, y):  # t: [b]; rows decay at different rates
+        return -rates[: y.shape[0], None] * y
+
+    y0 = jnp.ones((2, 3))
+    joint = odeint_adaptive_rows(fn, y0, 0.0, 1.0)
+
+    # each row alone (b=1): same controller decisions -> identical values
+    for r in range(2):
+        def fn_r(t, y, r=r):
+            return -rates[r] * y
+
+        alone = odeint_adaptive_rows(fn_r, y0[r : r + 1], 0.0, 1.0)
+        np.testing.assert_array_equal(np.asarray(joint[r]), np.asarray(alone)[0])
+
+    # b=1 coincides with the scalar-controller integrator
+    solo = odeint_adaptive(
+        lambda t, y: -rates[0] * y, y0[0], 0.0, 1.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(joint[0]), np.asarray(solo), atol=1e-6
+    )
+    # and it integrates correctly (exp decay)
+    np.testing.assert_allclose(
+        np.asarray(joint[0]), np.exp(-1.0) * np.ones(3), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(joint[1]), np.exp(-25.0) * np.ones(3), atol=1e-3
+    )

@@ -273,14 +273,25 @@ def _ode_impl(
 
         cc = cache_mark_valid(cache, valid)
         y_rows = jnp.concatenate([y, y], axis=0) if rows == 2 * R else y
+        t_rows = t
+        if jnp.ndim(t) == 1 and rows == 2 * R:
+            t_rows = jnp.concatenate([t, t], axis=0)  # uncond twins share
+            # their cond row's clock (per-row adaptive control)
         f, _ = model.core.apply(
-            params, y_rows, t, rotary, cc, mid,
+            params, y_rows, t_rows, rotary, cc, mid,
             method="decode_modality_rows",
         )
         if use_cfg:
             return f[R:] + cfg_scale * (f[:R] - f[R:])
         return f
 
+    if model.odeint_method == "adaptive":
+        # per-ROW step control: a request's trajectory must not depend on
+        # which rows it is pooled with (odeint_adaptive_rows docstring) —
+        # a shared controller would couple step acceptance across requests
+        from transfusion_tpu.ops.odeint import odeint_adaptive_rows
+
+        return odeint_adaptive_rows(flow, noise, 0.0, 1.0)
     grid = jnp.linspace(0.0, 1.0, steps)
     return odeint(flow, noise, grid, method=model.odeint_method)
 

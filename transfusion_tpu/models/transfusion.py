@@ -332,8 +332,11 @@ class TransfusionCore(nn.Module):
     ):
         """Cached forward of one modality's rows (the ODE tail).
 
-        latents: Float[b, *latent_shape, d]; t: scalar time for conditioning
-        and x-pred conversion. Returns (pred_flow_latents, new_cache)."""
+        latents: Float[b, *latent_shape, d]; t: time for conditioning and
+        x-pred conversion — a scalar, or Float[b] with an independent time
+        per row (the per-row adaptive ODE controller in grouped serving
+        dispatches steps each pool row on its own clock).
+        Returns (pred_flow_latents, new_cache)."""
         rows, seq_shape = self.latent_to_seq(latents, modality_type)
         b, L, _ = rows.shape
 
@@ -342,7 +345,9 @@ class TransfusionCore(nn.Module):
         if pos is not None:
             in_rows = in_rows + pos[None]
 
-        times_tok = jnp.full((b, L), t)
+        t_arr = jnp.asarray(t, jnp.float32)
+        times_row = jnp.broadcast_to(t_arr.reshape(-1), (b,))
+        times_tok = jnp.broadcast_to(times_row[:, None], (b, L))
         embed, new_cache = self.transformer(
             in_rows.astype(self.dtype),
             times=times_tok,
@@ -353,7 +358,7 @@ class TransfusionCore(nn.Module):
         out_rows = embed
         if self.model_output_clean:
             out_rows = model_output_to_flow(
-                out_rows, rows, jnp.full((b,), t), self.eps
+                out_rows, rows, times_row, self.eps
             )
         return self.seq_to_latent(out_rows, modality_type, seq_shape), new_cache
 

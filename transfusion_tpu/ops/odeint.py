@@ -140,6 +140,101 @@ def odeint_adaptive(
     )
 
 
+def odeint_adaptive_rows(
+    fn: Callable,
+    y0,
+    t0: float,
+    t1: float,
+    atol: float = 1e-5,
+    rtol: float = 1e-5,
+    max_steps: int = 4096,
+):
+    """Per-ROW tolerance-adaptive Heun: `y0` carries independent problems on
+    axis 0 (shape [b, ...]) and `fn(t, y) -> dy/dt` takes a PER-ROW time
+    vector t: Float[b]. Each row gets its own (t, dt, accept) controller, so
+    a row's step sequence — and therefore its result — depends only on its
+    own error estimates, never on co-scheduled rows. This is the batched
+    serving contract (sample_batch/engine_mm grouped ODE dispatches):
+    with a shared controller a request's output would change with its pool
+    placement, which the engines promise it does not. For b=1 the controller
+    decisions coincide with `odeint_adaptive` exactly.
+
+    Rows finish independently: a done row has dt clamped to 0, making its
+    step a bit-exact no-op while the `while_loop` drives the stragglers.
+    One `fn` evaluation per iteration serves every row (the flow shares the
+    model dispatch), so wall-clock is max-over-rows, same as fixed-grid.
+    """
+    b = jax.tree_util.tree_leaves(y0)[0].shape[0]
+    t0v = jnp.full((b,), t0, jnp.float32)
+    t1v = jnp.full((b,), t1, jnp.float32)
+    span = t1v - t0v
+
+    def bcast(v, x):
+        return v.reshape((b,) + (1,) * (x.ndim - 1))
+
+    def row_max_abs(tree):
+        parts = [
+            jnp.max(
+                jnp.abs(x.astype(jnp.float32)).reshape(x.shape[0], -1),
+                axis=1,
+            )
+            for x in jax.tree_util.tree_leaves(tree)
+        ]
+        return jnp.max(jnp.stack(parts), axis=0)
+
+    def cond(state):
+        t, _, _, n = state
+        return jnp.any(t < t1v - 1e-7 * jnp.abs(span)) & (n < max_steps)
+
+    def body(state):
+        t, y, dt, n = state
+        dt = jnp.minimum(dt, t1v - t)  # done rows: dt == 0 -> frozen
+        k1 = fn(t, y)
+        y_euler = jax.tree.map(
+            lambda y_, d_: y_ + bcast(dt, y_) * d_, y, k1
+        )
+        k2 = fn(t + dt, y_euler)
+        y_heun = jax.tree.map(
+            lambda y_, a, b_: y_ + bcast(dt * 0.5, y_) * (a + b_),
+            y, k1, k2,
+        )
+        err = row_max_abs(
+            jax.tree.map(
+                lambda a, b_: (a - b_) * bcast(dt * 0.5, a), k1, k2
+            )
+        )
+        tol = atol + rtol * row_max_abs(y)
+        ratio = err / jnp.maximum(tol, 1e-30)
+        accept = ratio <= 1.0
+        y_next = jax.tree.map(
+            lambda new, old: jnp.where(bcast(accept, new), new, old),
+            y_heun, y,
+        )
+        t_next = jnp.where(accept, t + dt, t)
+        factor = jnp.clip(
+            0.9 * jax.lax.rsqrt(jnp.maximum(ratio, 1e-10)), 0.2, 5.0
+        )
+        dt_next = jnp.maximum(dt * factor, 1e-5 * jnp.abs(span))
+        return t_next, y_next, dt_next, n + 1
+
+    init_dt = span / 16.0
+    t_end, y_final, _, _ = jax.lax.while_loop(
+        cond, body, (t0v, y0, init_dt, 0)
+    )
+
+    # close any per-row gap to t1 (max_steps exhaustion) with one Euler step
+    gap = t1v - t_end
+
+    def close(y):
+        k = fn(t_end, y)
+        return jax.tree.map(lambda y_, d_: y_ + bcast(gap, y_) * d_, y, k)
+
+    return jax.lax.cond(
+        jnp.any(jnp.abs(gap) > 1e-6 * jnp.abs(span)),
+        close, lambda y: y, y_final,
+    )
+
+
 def odeint(
     fn: Callable,
     y0,
