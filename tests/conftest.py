@@ -30,6 +30,13 @@ jax.config.update("jax_platforms", "cpu")
 # machine's entry risks SIGILL (the r2 intermittent 'Fatal Python error');
 # per-boot isolation makes cross-machine loads impossible by construction —
 # full evidence trail in transfusion_tpu/utils/hostfp.py.
+# NOTE: a cpu_aot_loader.cc "Target machine feature +prefer-no-gather is not
+# supported on the host machine" WARNING can still appear on cache hits
+# produced by THIS very boot: LLVM tuning flags (+prefer-no-gather/-scatter,
+# the SPR gather-erratum workaround) are baked into the compile-time feature
+# string but are not CPUID features, so XLA's strict load-time feature-set
+# comparison flags them even same-host. Benign: prefer-no-gather codegen
+# AVOIDS instructions, so the cached code is strictly more conservative.
 from transfusion_tpu.utils.hostfp import cpu_cache_fingerprint  # noqa: E402
 
 jax.config.update(
