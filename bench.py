@@ -102,6 +102,28 @@ def main():
         with open(path) as f:
             baseline = json.load(f).get("tokens_per_sec")
 
+    # efficiency: XLA's own HLO FLOP count for ONE train step, turned into
+    # achieved TFLOP/s and MFU against the chip's bf16 peak. On the axon
+    # (remote TPU) backend the pre-compile `lowered.cost_analysis()` returns
+    # None — only the COMPILED executable carries the analysis (measured
+    # r5), so fall back to .compile(); done after the timed windows, the
+    # one-off AOT compile cannot perturb them.
+    tflops = mfu = None
+    try:
+        lowered = trainer._step_fn.lower(state, packed, key)
+        ca = lowered.cost_analysis()
+        if not ca:
+            ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_step = float(ca["flops"])
+        tflops = flops_step * steps / best_dt / 1e12
+        peak = _peak_bf16_tflops(jax.devices()[0])
+        if peak:
+            mfu = tflops / peak
+    except Exception:
+        pass  # cost analysis unavailable on this backend/version
+
     out = {
         "metric": "packed tokens/sec/chip (text+latents joint train step)",
         "value": round(tps, 1),
@@ -111,8 +133,29 @@ def main():
         "median_vs_baseline": (
             round(tps_median / baseline, 2) if baseline else None
         ),
+        "tflops": round(tflops, 2) if tflops is not None else None,
+        "mfu": round(mfu, 4) if mfu is not None else None,
     }
     print(json.dumps(out))
+
+
+def _peak_bf16_tflops(device) -> float:
+    """Dense bf16 peak for the chip driving the bench (public specs)."""
+    kind = getattr(device, "device_kind", "").lower()
+    table = {
+        "v5 lite": 197.0,  # v5e: 394 int8 TOPS / 197 bf16 TFLOP/s
+        "v5litepod": 197.0,
+        "v5e": 197.0,
+        "v4": 275.0,
+        "v5p": 459.0,
+        "v5": 459.0,  # plain "v5" reported by some runtimes = v5p
+        "v6 lite": 918.0,
+        "v6e": 918.0,
+    }
+    for k, v in sorted(table.items(), key=lambda kv: -len(kv[0])):
+        if k in kind:
+            return v
+    return 0.0
 
 
 if __name__ == "__main__":

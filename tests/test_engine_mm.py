@@ -199,6 +199,41 @@ def test_mm_engine_serve_auto_dispatch(monkeypatch):
             assert_items_equal(got, want, 2e-5)
 
 
+def test_mm_engine_serve_per_request_budgets():
+    """serve() accepts per-prompt max_length / expected_segments (budget
+    skew is the planner's whole input) and plan_only returns the decision
+    without touching the pool."""
+    m = small_model()
+    params = m.init_params(jax.random.PRNGKey(0))
+    prompts = make_prompts(m)
+    eng = MultimodalServingEngine.for_workload(
+        m, params, prompts, 8, max_requests=2,
+        cfg_scale=1.0, modality_steps=3, text_temperature=0.0,
+        text_min_p=0.0, init_modality_noise=PIN_NOISE,
+        return_unprocessed_modalities=True, rng=jax.random.PRNGKey(1),
+    )
+    budgets = [6] * len(prompts)
+    budgets[0] = 8
+    plan = eng.serve(
+        prompts, budgets, expected_segments=[1.0] * len(prompts),
+        plan_only=True,
+    )
+    assert plan in ("engine", "waves")
+    assert eng.stats["admitted"] == 0  # plan_only never admits
+
+    outs = eng.serve(prompts, budgets)
+    assert len(outs) == len(prompts)
+    kw = dict(
+        text_temperature=0.0, text_min_p=0.0,
+        init_modality_noise=PIN_NOISE, modality_steps=3, cfg_scale=1.0,
+        return_unprocessed_modalities=True,
+    )
+    for got, p, b in zip(outs, prompts, budgets):
+        assert_items_equal(
+            got, solo(m, params, p, max_length=b, **kw), 2e-5
+        )
+
+
 def test_mm_engine_metrics_schema():
     """metrics= wiring (VERDICT r4 #8): every engine tick logs one JSONL row
     with the operator-facing schema (admitted/retired/chunk choice/cost-model

@@ -78,6 +78,37 @@ def test_sample_batch_matches_solo(cfg_scale):
         assert_items_equal(got, solo, atol=2e-5)
 
 
+def test_sample_batch_per_request_budgets():
+    """max_length as one budget per prompt (r5): each request's output
+    equals solo sample() at ITS OWN budget — a ragged-budget wave honors
+    every member's max_tokens contract instead of the wave max."""
+    m = small_model()
+    params = m.init_params(jax.random.PRNGKey(0))
+    prompts = make_prompts(m)
+    noise = np.asarray(
+        np.random.default_rng(7).normal(size=(16, 8)), np.float32
+    )
+    kw = dict(
+        text_temperature=0.0,
+        text_min_p=0.0,
+        init_modality_noise=noise,
+        modality_steps=3,
+        cfg_scale=1.0,
+        return_unprocessed_modalities=True,
+    )
+    budgets = [3, 7, 5]
+    batched = m.sample_batch(
+        params, prompts, rng=jax.random.PRNGKey(1),
+        max_length=budgets, **kw,
+    )
+    for p, b, got in zip(prompts, budgets, batched):
+        solo = m.sample(
+            params, p, rng=jax.random.PRNGKey(1), cache_kv=True,
+            max_length=b, **kw,
+        )
+        assert_items_equal(got, solo, atol=2e-5)
+
+
 def test_sample_batch_reproducible_and_decoded():
     """temperature>0: per-request fold-in streams make results independent
     of co-batching; default output path decodes modalities."""

@@ -608,21 +608,36 @@ class MultimodalServingEngine:
 
         self._cost_frozen = True
 
-    def serve(self, prompts, max_length, *, expected_segments: float = 1.0):
+    def serve(
+        self, prompts, max_length, *,
+        expected_segments=1.0, plan_only: bool = False,
+    ):
         """Auto-dispatched multimodal batch serving: choose continuous
         batching or fixed `sample_batch` waves from the fitted dispatch
         cost model (serving.plan_dispatch_mm) and return one decoded
         result list per prompt, in order.
 
-        expected_segments: predicted modality segments per request (the
-        planner's workload descriptor; actual counts are data-dependent).
+        max_length / expected_segments may be scalars or per-prompt
+        sequences — budget skew is exactly what the planner weighs (waves
+        pay every member the wave max; the engine refills freed slots).
         Requires warmup() for a measured ODE cost — unmeasured engines
-        plan with a conservative default.
+        plan with a conservative default. plan_only=True returns just the
+        decision string ('engine' | 'waves') without serving.
         """
         from transfusion_tpu.models.sample_batch import sample_batch
         from transfusion_tpu.models.serving import plan_dispatch_mm
 
-        max_length = int(max_length)
+        n = len(prompts)
+        if isinstance(max_length, (int, float)):
+            max_lengths = [int(max_length)] * n
+        else:
+            max_lengths = [int(v) for v in max_length]
+            assert len(max_lengths) == n, (len(max_lengths), n)
+        if isinstance(expected_segments, (int, float)):
+            exp_segs = [float(expected_segments)] * n
+        else:
+            exp_segs = [float(v) for v in expected_segments]
+            assert len(exp_segs) == n, (len(exp_segs), n)
         # text budget per request ~= total budget minus expected modality
         # tokens (each segment occupies L slots of the length budget)
         L_est = 0
@@ -637,24 +652,26 @@ class MultimodalServingEngine:
                 L_est = int(
                     math.prod(self.model.seq_shape_for(mid0, shp))
                 )
-        text_budget = max(
-            8, max_length - int(expected_segments * L_est)
-        )
         ode_s = self.ode_cost()
-        reqs = [(text_budget, expected_segments)] * len(prompts)
+        reqs = [
+            (max(8, ml - int(es * L_est)), es)
+            for ml, es in zip(max_lengths, exp_segs)
+        ]
         plan = plan_dispatch_mm(
             reqs, self.R, self._rtt_est, self._step_est,
             ode_s if ode_s is not None else 0.5,
             max_chunk=self.text_chunk, seg_cap=self._seg_cap(),
             seg_tokens=L_est,
         )
+        if plan_only:
+            return plan
         if plan == "waves":
             out = []
             for i in range(0, len(prompts), self.R):
                 grp = list(prompts[i : i + self.R])
                 outs = sample_batch(
                     self.model, self.params, grp, rng=self.rng,
-                    max_length=max_length,
+                    max_length=max_lengths[i : i + self.R],
                     text_temperature=self.text_temperature,
                     text_min_p=self.text_min_p,
                     fixed_modality_shape=self.fixed_modality_shape,
@@ -667,7 +684,9 @@ class MultimodalServingEngine:
                 )
                 out.extend(outs)
             return out
-        rids = [self.submit(p, max_length) for p in prompts]
+        rids = [
+            self.submit(p, ml) for p, ml in zip(prompts, max_lengths)
+        ]
         by_rid = {f.rid: f.output for f in self.run()}
         return [by_rid[rid] for rid in rids]
 

@@ -325,7 +325,7 @@ def sample_batch(
     params,
     prompts,  # list of sample()-style prompts, one per request
     rng=None,
-    max_length: int = 2048,
+    max_length=2048,  # int, or one budget per prompt (sequence)
     text_temperature: float = 1.5,
     text_min_p: float = 0.1,
     fixed_modality_shape: Optional[tuple] = None,
@@ -340,7 +340,13 @@ def sample_batch(
 ):
     """Batched equivalent of `model.sample(cache_kv=True, ...)` over R
     prompts. Returns a list of R results (decoded sample items, or raw
-    items with return_unprocessed_modalities)."""
+    items with return_unprocessed_modalities).
+
+    max_length may be one budget per prompt: each row's in-scan stop and
+    retirement use its OWN budget (budgets are host-side data, not trace
+    keys — a ragged-budget batch compiles the same traces as a uniform
+    one), so serving per-request max_tokens contracts hold inside a wave.
+    """
     assert prompts is not None and len(prompts) >= 1
     assert model.num_text_tokens > 0, (
         "sample_batch needs a text vocabulary — use generate_modality_only "
@@ -348,6 +354,11 @@ def sample_batch(
     )
     rng = default(rng, jax.random.PRNGKey(0))
     R = len(prompts)
+    if isinstance(max_length, (int, float, np.integer)):
+        budgets = [int(max_length)] * R
+    else:
+        budgets = [int(v) for v in max_length]
+        assert len(budgets) == R, (len(budgets), R)
     use_cfg = cfg_scale != 1.0
     rows = 2 * R if use_cfg else R
     # in-scan stop set: modality triggers + eos (budget rides separately)
@@ -362,7 +373,7 @@ def sample_batch(
         reqs.append(_Req(items, tc, co))
 
     cap = _round_up(
-        max(r.tok_count for r in reqs) + max_length + 256 + 2, 128
+        max(r.tok_count + b for r, b in zip(reqs, budgets)) + 256 + 2, 128
     )
     quantize, transposed = model._resolve_serving_plan(
         cap, rows, kv_quantize
@@ -403,8 +414,8 @@ def sample_batch(
         return not r.done
 
     def retire_overlong():
-        for r in reqs:
-            if live(r) and r.curr_length > max_length:
+        for r, b in zip(reqs, budgets):
+            if live(r) and r.curr_length > b:
                 r.done = True
 
     def consume(r: _Req, i: int, tok: int):
@@ -454,7 +465,7 @@ def sample_batch(
                 act0[i] = True
                 rem[i] = (
                     1 if (r.parked or r.done)
-                    else max_length - r.curr_length + 1
+                    else budgets[i] - r.curr_length + 1
                 )
                 cnt0[i] = r.n_sampled
                 if use_cfg:

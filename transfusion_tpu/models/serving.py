@@ -244,15 +244,14 @@ def _simulate_mm(reqs, pool, rtt_s, step_s, ode_s, *, waves, max_chunk,
     `seg_tokens` slots of the length budget. waves=False admits into freed
     slots every tick (continuous batching); waves=True admits a fresh pool
     only when the previous pool fully drains (sample_batch called per
-    wave) — AND every wave member inherits the wave's MAX **total** budget:
-    sample_batch takes a single max_length counting text AND modality
-    tokens, so a short text request co-scheduled with a long multimodal
-    one keeps decoding text toward the wave budget unless it happens to
-    sample eos (this is the structural cost of waves the engine's
-    per-request budgets avoid — the r4 probe's 2.19x came from exactly
-    this straggler effect, scripts/probe_engine_mm.py). ode_s: measured
-    seconds for one grouped ODE dispatch (member count is data — one
-    dispatch serves ALL parked slots).
+    wave). Since r5, sample_batch honors PER-REQUEST budgets (rows stop
+    in-scan at their own budget and ride bit-inert), so the structural
+    cost of waves left is slot idling: a retired member's slot stays empty
+    until the wave's slowest member drains. (The r4 2.19x deep-skew number
+    included the now-fixed shared-budget over-generation; the honest waves
+    baseline is faster.) ode_s: measured seconds for one grouped ODE
+    dispatch (member count is data — one dispatch serves ALL parked
+    slots).
     """
     from collections import deque
 
@@ -269,9 +268,6 @@ def _simulate_mm(reqs, pool, rtt_s, step_s, ode_s, *, waves, max_chunk,
                 max(1, int(text) // (int(segs) + 1)) if segs else None
             )
 
-        def total_budget(self):
-            return self.text_left + self.segs_left * seg_tokens
-
     queue = deque(S(t, s) for t, s in reqs)
     slots: list = []
     t = 0.0
@@ -284,16 +280,6 @@ def _simulate_mm(reqs, pool, rtt_s, step_s, ode_s, *, waves, max_chunk,
             t += rtt_s  # admission prefill+scatter (one rectangle)
             while queue and len(slots) < pool:
                 slots.append(queue.popleft())
-            if waves:
-                # sample_batch's single max_length is a TOTAL budget
-                # (text + modality tokens): every member's text leg runs
-                # toward the wave max minus its own segments' footprint
-                wave_max = max(s.total_budget() for s in slots)
-                for s in slots:
-                    s.text_left = max(
-                        s.text_left,
-                        wave_max - s.segs_left * seg_tokens,
-                    )
             t += rtt_s  # post-admission pick dispatch
         # ---- text chunk over streaming slots ----
         streaming = [s for s in slots if s.text_left > 0]
