@@ -43,7 +43,10 @@ def _parse(tail: str):
 def run_tier(name: str, marker_args, timeout=3600):
     t0 = time.time()
     proc = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/", "-q", *marker_args],
+        [
+            sys.executable, "-m", "pytest", "tests/", "-q",
+            "--durations=25", *marker_args,
+        ],
         cwd=_REPO,
         capture_output=True,
         text=True,
@@ -52,6 +55,11 @@ def run_tier(name: str, marker_args, timeout=3600):
     dt = time.time() - t0
     out = proc.stdout + proc.stderr
     passed, failed, skipped = _parse(out[-4000:])
+    slowest = []
+    for ln in out.splitlines():
+        mm = re.match(r"([\d.]+)s call\s+(\S+)", ln.strip())
+        if mm:
+            slowest.append([float(mm.group(1)), mm.group(2)])
     row = {
         "tier": name,
         "passed": passed,
@@ -59,6 +67,7 @@ def run_tier(name: str, marker_args, timeout=3600):
         "skipped": skipped,
         "seconds": round(dt, 1),
         "returncode": proc.returncode,
+        "slowest": slowest[:25],
     }
     print(json.dumps(row), flush=True)
     if proc.returncode != 0:
