@@ -13,9 +13,20 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The suite is serial-COMPILE-bound on this 1-core host and the CPU cache
+# is boot-keyed (hostfp.py), so every fresh boot pays the full compile
+# bill. Tests don't need optimized machine code: -O0 cuts cold-compile
+# wall time ~25% (measured r5: test_cached_sampling+test_transformer cold
+# 300s -> 231s, all green). Parity/bitwise tests compare programs that are
+# BOTH compiled at -O0, so equality contracts are unaffected. Set
+# TRANSFUSION_TEST_XLA_OPT=1 to restore default optimization.
+if (
+    "xla_backend_optimization_level" not in flags
+    and not os.environ.get("TRANSFUSION_TEST_XLA_OPT")
+):
+    flags += " --xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
@@ -71,3 +82,40 @@ except ImportError:
             "fastpack build failed (tests will skip native parity):\n"
             + r.stderr[-2000:]
         )
+
+
+# ---------------------------------------------------------------------------
+# Incremental per-test timing log: every finished test appends one JSONL row
+# immediately, so even a killed/timed-out run yields a complete ranking of
+# where the wall time went (pytest's own --durations prints only at exit).
+# File: .pytest_timings.jsonl at the repo root (gitignored).
+# ---------------------------------------------------------------------------
+import json as _json  # noqa: E402
+import time as _time  # noqa: E402
+
+_TIMINGS_PATH = os.path.join(_REPO, ".pytest_timings.jsonl")
+
+
+def pytest_sessionstart(session):
+    try:
+        with open(_TIMINGS_PATH, "w") as f:
+            f.write(_json.dumps({"session_start": _time.time()}) + "\n")
+    except OSError:
+        pass
+
+
+def pytest_runtest_logreport(report):
+    if report.when != "call" and not (
+        report.when == "setup" and report.duration > 1.0
+    ):
+        return
+    try:
+        with open(_TIMINGS_PATH, "a") as f:
+            f.write(_json.dumps({
+                "id": report.nodeid,
+                "when": report.when,
+                "s": round(report.duration, 2),
+                "outcome": report.outcome,
+            }) + "\n")
+    except OSError:
+        pass

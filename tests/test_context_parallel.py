@@ -147,7 +147,10 @@ def _train_losses(model, mesh, steps=3):
     return losses
 
 
-@pytest.mark.parametrize("attn_impl", ["ring", "cp_allgather"])
+@pytest.mark.parametrize(
+    "attn_impl",
+    ["ring", pytest.param("cp_allgather", marks=pytest.mark.slow)],
+)
 def test_train_data_x_context_matches_single_device(attn_impl):
     """3 optimizer steps with data x context sharding == dense single-device."""
     from transfusion_tpu.parallel import make_mesh
@@ -158,6 +161,7 @@ def test_train_data_x_context_matches_single_device(attn_impl):
     np.testing.assert_allclose(got, want, rtol=2e-4)
 
 
+@pytest.mark.slow  # >30s cold on the 1-core CI host
 def test_train_context_only_ring():
     """Pure sequence sharding (context=4), ring schedule."""
     from transfusion_tpu.parallel import make_mesh

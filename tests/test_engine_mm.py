@@ -27,7 +27,9 @@ def solo(m, params, prompt, **kw):
     )
 
 
-@pytest.mark.parametrize("cfg_scale", [1.0, 3.0])
+@pytest.mark.parametrize(
+    "cfg_scale", [pytest.param(1.0, marks=pytest.mark.slow), 3.0]
+)
 def test_mm_engine_matches_solo_greedy(cfg_scale):
     """Queue (5 requests) deeper than the pool (2 slots): every request
     retires with exactly its solo sample() output."""

@@ -145,6 +145,7 @@ def test_train_distributed_pipeline_smoke(tmp_path, monkeypatch):
     )
 
 
+@pytest.mark.slow  # >30s on the 1-core CI host (VERDICT r4 #3 tiering)
 def test_serve_text_smoke():
     # serving demo: flash prefill + Pallas decode kernel + int8 KV cache
     run_example(

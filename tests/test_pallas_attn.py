@@ -187,6 +187,7 @@ def test_streamed_backward_matches_dense(monkeypatch):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
+@pytest.mark.slow  # >30s on the 1-core CI host (VERDICT r4 #3 tiering)
 def test_streamed_backward_through_training_loss(monkeypatch):
     """Streamed fwd+bwd wired through the full joint loss matches dense."""
     import transfusion_tpu.ops.pallas_attn_kernel as K

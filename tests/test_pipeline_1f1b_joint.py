@@ -50,7 +50,7 @@ def ragged_batch(m, b=8, seed=0):
 @pytest.mark.parametrize(
     "velocity,dp",
     [
-        (False, 1),
+        pytest.param(False, 1, marks=pytest.mark.slow),
         pytest.param(True, 1, marks=pytest.mark.slow),
         pytest.param(True, 2, marks=pytest.mark.slow),
     ],
@@ -107,6 +107,7 @@ def test_1f1b_joint_loss_and_grads_match_dense(velocity, dp):
         )
 
 
+@pytest.mark.slow  # >30s on the 1-core CI host (VERDICT r4 #3 tiering)
 def test_1f1b_trainer_matches_single_device():
     """3 optimizer steps through Trainer(pipeline_schedule='1f1b') track
     the unpipelined Trainer step-for-step."""

@@ -48,7 +48,9 @@ def assert_items_equal(a, b, atol):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
-@pytest.mark.parametrize("cfg_scale", [1.0, 3.0])
+@pytest.mark.parametrize(
+    "cfg_scale", [pytest.param(1.0, marks=pytest.mark.slow), 3.0]
+)
 def test_sample_batch_matches_solo(cfg_scale):
     m = small_model()
     params = m.init_params(jax.random.PRNGKey(0))

@@ -167,6 +167,7 @@ def test_checkpoint_async_save(tmp_path):
     )
 
 
+@pytest.mark.slow  # >30s on the 1-core CI host (VERDICT r4 #3 tiering)
 def test_mesh_sharded_train_step():
     """DP x FSDP x TP on the 8-device CPU mesh — full train step."""
     mesh = make_mesh(data=2, fsdp=2, tensor=2)

@@ -38,9 +38,21 @@ def grad_norm(g):
     )
 
 
-@pytest.mark.parametrize("num_residual_streams", [1, 4])
-@pytest.mark.parametrize("reconstruction_loss_weight", [0.0, 0.1])
-@pytest.mark.parametrize("model_output_clean", [False, True])
+# default tier keeps the two corner configs; the mixed middle of the
+# cube runs in the full tier (VERDICT r4 #3 tiering)
+@pytest.mark.parametrize(
+    "num_residual_streams,reconstruction_loss_weight,model_output_clean",
+    [
+        (1, 0.0, False),
+        (4, 0.1, True),
+        pytest.param(4, 0.0, False, marks=pytest.mark.slow),
+        pytest.param(1, 0.1, False, marks=pytest.mark.slow),
+        pytest.param(1, 0.0, True, marks=pytest.mark.slow),
+        pytest.param(4, 0.1, False, marks=pytest.mark.slow),
+        pytest.param(1, 0.1, True, marks=pytest.mark.slow),
+        pytest.param(4, 0.0, True, marks=pytest.mark.slow),
+    ],
+)
 def test_transfusion_joint(
     num_residual_streams, reconstruction_loss_weight, model_output_clean
 ):

@@ -10,6 +10,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _CHILD = r"""
@@ -81,6 +83,7 @@ def test_typecheck_enabled_validates_shapes():
     assert "TYPECHECK-OK" in proc.stdout
 
 
+@pytest.mark.slow  # >30s on the 1-core CI host (VERDICT r4 #3 tiering)
 def test_typecheck_disabled_is_identity():
     # without TYPECHECK the bad-shape calls must NOT raise at the decorator
     # (they may still fail deeper or silently broadcast — the child asserts
