@@ -120,15 +120,20 @@ def run_workload(name, m, params, prompts, budgets, segs):
         prompts, budgets, expected_segments=segs, plan_only=True
     )
 
-    # ---- waves of R via sample_batch ------------------------------------
+    # ---- waves of R via sample_batch (LPT order, as serve() forms them) -
+    lpt = sorted(range(n), key=lambda i: (-budgets[i], i))
+
     def run_waves():
-        outs = []
+        outs = [None] * n
         for i in range(0, n, R):
-            grp = prompts[i : i + R]
-            outs.extend(m.sample_batch(
-                params, grp, rng=jax.random.PRNGKey(100),
-                max_length=budgets[i : i + R], **KW,
-            ))
+            idxs = lpt[i : i + R]
+            got = m.sample_batch(
+                params, [prompts[j] for j in idxs],
+                rng=jax.random.PRNGKey(100),
+                max_length=[budgets[j] for j in idxs], **KW,
+            )
+            for j, o in zip(idxs, got):
+                outs[j] = o
         return outs
 
     run_waves()  # compile
@@ -146,8 +151,8 @@ def run_workload(name, m, params, prompts, budgets, segs):
             k: list(v) for k, v in eng0._ode_samples.items()
         }
         eng._cost_frozen = True
-        for p, b in zip(prompts, budgets):
-            eng.submit(p, max_length=b)
+        for j in lpt:  # serve()'s engine branch admits LPT too
+            eng.submit(prompts[j], max_length=budgets[j])
         fin = eng.run()
         return [f.output for f in fin], eng.stats
 

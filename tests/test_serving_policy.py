@@ -149,49 +149,45 @@ def test_estimate_times_are_sane():
 
 
 def test_plan_dispatch_mm_workloads():
-    """Since sample_batch honors per-request budgets (r5), waves no longer
-    over-generate — the engine's remaining structural edge is slot refill:
-    a drained member's slot takes new queue work instead of idling until
-    the wave's slowest member (long pole) finishes, amortizing the long
-    pole's chunk dispatches across fresh requests. The planner must pick
-    the engine exactly where that edge is real (budget-skewed DEEP queues)
-    and waves where it isn't (clustered budgets / single wave — the r3
-    text-engine lesson, 0.49x pre-cost-model)."""
+    """r5 evolution of the static-batch dispatch decision, each step
+    measured/simulated honestly:
+      1. per-request budgets removed waves' over-generation (r4's 2.19x
+         deep-skew engine edge was mostly that artifact);
+      2. LPT ordering (budget-descending admission, serve() both branches)
+         removed most of the REMAINING engine edge: waves of similar
+         budgets drain together, so slot-refill has little left to
+         exploit on a fully-known static pool.
+    For static serve() batches the planner therefore picks waves broadly
+    (sorted waves are near-optimal offline schedules); the engine's
+    structural win is ONLINE serving — streaming arrivals through
+    submit()/run(), which no planner gates."""
     from transfusion_tpu.models.serving import _simulate_mm, plan_dispatch_mm
 
     rtt, step, ode = 0.03, 0.002, 1.0
 
-    # deep queue, one 512-token long pole per 8 requests: each wave pays
-    # the full pole ladder; the engine pays it ~once for the whole queue
     deep = ([(24, 0)] * 7 + [(512, 0)]) * 4
-    assert plan_dispatch_mm(deep, 8, rtt, step, ode) == "engine"
-
-    # segments mixed through a deep skewed queue: same refill edge plus
-    # grouped-ODE sharing
     mixed = ([(24, 0)] * 7 + [(200, 2)]) * 4
-    assert plan_dispatch_mm(
-        mixed, 8, rtt, step, ode, seg_tokens=196
-    ) == "engine"
-
     clustered = [(64, 0)] * 8
-    assert plan_dispatch_mm(
-        clustered, 8, rtt, step, ode, seg_tokens=196
-    ) == "waves"
-
-    # mild text-budget skew, one wave: continuous admission only adds
-    # dispatches
     mild = [(t, 0) for t in (48, 56, 64, 64, 72, 80, 88, 96)]
-    assert plan_dispatch_mm(mild, 8, rtt, step, ode) == "waves"
+
+    for reqs, seg in ((deep, 0), (mixed, 196), (clustered, 196), (mild, 0)):
+        assert plan_dispatch_mm(
+            reqs, 8, rtt, step, ode, seg_tokens=seg
+        ) == "waves"
 
     # degenerate: empty queue
     assert plan_dispatch_mm([], 8) == "waves"
 
-    # budget-faithful waves: the r4 probe shape (one 40-token+1-seg member
-    # per 8) is now nearly tied — the planner must NOT claim a >5% engine
-    # edge that per-request budgets erased
-    probe = ([(24, 0)] * 7 + [(40, 1)]) * 3
-    e = _simulate_mm(probe, 8, rtt, step, ode, waves=False, max_chunk=64,
-                     seg_tokens=196)
-    w = _simulate_mm(probe, 8, rtt, step, ode, waves=True, max_chunk=64,
-                     seg_tokens=196)
-    assert 0.9 < e / w <= 1.0
+    # ...but the margin must stay honest: LPT-engine and LPT-waves are
+    # near-TIES on skewed deep queues (not waves blowouts) — if the sim
+    # starts claiming waves win big, its engine model has rotted
+    for reqs, seg in ((deep, 0), (probe_shape(), 196)):
+        e = _simulate_mm(reqs, 8, rtt, step, ode, waves=False,
+                         max_chunk=64, seg_tokens=seg)
+        w = _simulate_mm(reqs, 8, rtt, step, ode, waves=True,
+                         max_chunk=64, seg_tokens=seg)
+        assert 0.9 < e / w < 1.15, (e, w)
+
+
+def probe_shape():
+    return ([(24, 0)] * 7 + [(40, 1)]) * 3

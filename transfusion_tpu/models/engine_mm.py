@@ -666,12 +666,21 @@ class MultimodalServingEngine:
         if plan_only:
             return plan
         if plan == "waves":
-            out = []
-            for i in range(0, len(prompts), self.R):
-                grp = list(prompts[i : i + self.R])
+            # LPT-style wave formation: group similar budgets into the same
+            # wave (stable sort, budget-descending) so each wave's members
+            # drain together — a cheap request never shares a wave with a
+            # long pole it must idle behind. Results are restored to
+            # submission order.
+            order = sorted(
+                range(len(prompts)), key=lambda i: (-max_lengths[i], i)
+            )
+            out = [None] * len(prompts)
+            for i in range(0, len(order), self.R):
+                idxs = order[i : i + self.R]
                 outs = sample_batch(
-                    self.model, self.params, grp, rng=self.rng,
-                    max_length=max_lengths[i : i + self.R],
+                    self.model, self.params, [prompts[j] for j in idxs],
+                    rng=self.rng,
+                    max_length=[max_lengths[j] for j in idxs],
                     text_temperature=self.text_temperature,
                     text_min_p=self.text_min_p,
                     fixed_modality_shape=self.fixed_modality_shape,
@@ -682,11 +691,20 @@ class MultimodalServingEngine:
                     return_unprocessed_modalities=self.return_unprocessed,
                     text_chunk=self.text_chunk,
                 )
-                out.extend(outs)
+                for j, o in zip(idxs, outs):
+                    out[j] = o
             return out
-        rids = [
-            self.submit(p, ml) for p, ml in zip(prompts, max_lengths)
-        ]
+        # static pool: admit longest-first (same LPT ordering as the waves
+        # branch) — freed slots then backfill with cheap requests while the
+        # long poles stream, instead of poles arriving staggered behind a
+        # FIFO of cheap work. Streaming submit()/run() use remains
+        # arrival-ordered; results are restored to submission order.
+        order = sorted(
+            range(len(prompts)), key=lambda i: (-max_lengths[i], i)
+        )
+        rids = [None] * len(prompts)
+        for i in order:
+            rids[i] = self.submit(prompts[i], max_lengths[i])
         by_rid = {f.rid: f.output for f in self.run()}
         return [by_rid[rid] for rid in rids]
 

@@ -268,6 +268,11 @@ def _simulate_mm(reqs, pool, rtt_s, step_s, ode_s, *, waves, max_chunk,
                 max(1, int(text) // (int(segs) + 1)) if segs else None
             )
 
+    # serve() admits LPT-style in BOTH branches (stable budget-descending
+    # sort): waves group similar budgets so members drain together; the
+    # engine fronts the long poles so freed slots backfill with cheap work.
+    # Simulate the same admission order.
+    reqs = sorted(reqs, key=lambda r: -(r[0] + r[1] * seg_tokens))
     queue = deque(S(t, s) for t, s in reqs)
     slots: list = []
     t = 0.0
