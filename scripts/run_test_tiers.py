@@ -41,6 +41,13 @@ def _parse(tail: str):
 
 
 def run_tier(name: str, marker_args, timeout=3600):
+    env = dict(os.environ)
+    if name != "default":
+        # the default tier is COMPILE-bound (conftest compiles it at -O0 to
+        # cut the cold bill); the slow/full tiers are EXECUTION-bound
+        # (multi-step shard_map pipeline trainings), where -O0 is the wrong
+        # trade — run them at default optimization
+        env["TRANSFUSION_TEST_XLA_OPT"] = "1"
     t0 = time.time()
     proc = subprocess.run(
         [
@@ -51,6 +58,7 @@ def run_tier(name: str, marker_args, timeout=3600):
         capture_output=True,
         text=True,
         timeout=timeout,
+        env=env,
     )
     dt = time.time() - t0
     out = proc.stdout + proc.stderr
@@ -79,8 +87,14 @@ def main():
     rnd = next((a for a in sys.argv[1:] if a.isdigit()), "5")
     tiers = [("default", [])]
     if "--default-only" not in sys.argv:
-        tiers.append(("full", ["-m", ""]))
-    rows = [run_tier(name, args) for name, args in tiers]
+        # slow-only instead of "-m ''": full = default + slow, and the two
+        # tiers want different XLA opt levels (see run_tier); running slow
+        # alone also keeps each subprocess under the per-tier timeout
+        tiers.append(("slow", ["-m", "slow"]))
+    rows = [
+        run_tier(name, args, timeout=(3600 if name == "default" else 9600))
+        for name, args in tiers
+    ]
     path = os.path.join(_REPO, f"TESTS_r{rnd}.json")
     with open(path, "w") as f:
         json.dump({"tiers": rows}, f, indent=1)
