@@ -96,11 +96,14 @@ def test_generate_text_only_auto_policy_runs():
 
 
 def test_plan_dispatch_measured_workloads():
-    """The planner must reproduce the measured probe outcomes with the
-    on-TPU fitted cost model (rtt 36.7ms, step 2.61ms — probe_engine.py):
-    workload A (16 req, mild skew, 2 pool waves) measured 0.59x engine ->
-    static; workload B (48 req, bimodal 16/256, deep queue) measured the
-    engine winning -> engine."""
+    """Fitted cost model (rtt 36.7ms, step 2.61ms — probe_engine.py), r5
+    LPT world: serve() groups static pools budget-descending, so workload
+    B's six 256-budget poles share ONE pool instead of dragging six —
+    static batching now wins BOTH probe workloads in the sim (the r4
+    "engine 1.18x on bimodal" was measured against FIFO static, a
+    strictly worse baseline that serve() no longer uses). The engine's
+    remaining win is online/streaming arrivals, which plan_dispatch does
+    not gate."""
     import numpy as np
 
     from transfusion_tpu.models.serving import plan_dispatch
@@ -116,7 +119,7 @@ def test_plan_dispatch_measured_workloads():
     assert plan_dispatch(budgets_a.tolist(), 8, rtt, step) == "static"
 
     budgets_b = [256 if i % 8 == 0 else 16 for i in range(48)]
-    assert plan_dispatch(budgets_b, 8, rtt, step) == "engine"
+    assert plan_dispatch(budgets_b, 8, rtt, step) == "static"
 
     # degenerate: empty queue
     assert plan_dispatch([], 8, rtt, step) == "static"
@@ -134,13 +137,14 @@ def test_estimate_times_are_sane():
     s = estimate_static_time([64] * 8, 8, rtt, step)
     e = estimate_engine_time([64] * 8, 8, rtt, step)
     assert s <= e
-    # deep bimodal queue: the engine refills retired slots -> fewer wasted
-    # scan steps than 6 static pools each decoding 256
-    s2 = estimate_static_time([256 if i % 8 == 0 else 16 for i in range(48)],
-                              8, rtt, step)
-    e2 = estimate_engine_time([256 if i % 8 == 0 else 16 for i in range(48)],
-                              8, rtt, step)
-    assert e2 < s2
+    # deep bimodal queue at EQUAL per-step cost: LPT static (all 256-poles
+    # in one pool) and the LPT engine pay nearly the same scan steps; the
+    # engine adds admission dispatches, so static must not lose big and
+    # the two must stay within ~35% (the engine pays ~6 extra admissions)
+    bimodal = [256 if i % 8 == 0 else 16 for i in range(48)]
+    s2 = estimate_static_time(bimodal, 8, rtt, step)
+    e2 = estimate_engine_time(bimodal, 8, rtt, step)
+    assert s2 <= e2 + 1e-9 < 1.35 * s2, (e2, s2)
 
 
 # ---------------------------------------------------------------------------

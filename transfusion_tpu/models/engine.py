@@ -596,23 +596,33 @@ class ServingEngine:
             static_step_s=self.static_step_at(static_cap),
             max_chunk=self.decode_chunk,
         )
+        # LPT (budget-descending) scheduling for the static pool, both
+        # branches: static pools group similar budgets so a cheap request
+        # never decodes behind a long pole's max; the engine admits
+        # longest-first so freed slots backfill behind the streaming
+        # poles. Results restore to submission order.
+        order = sorted(
+            range(len(prompts)), key=lambda i: (-budgets[i], i)
+        )
         if plan == "static":
-            out = []
-            for i in range(0, len(prompts), self.max_batch):
-                grp_p = list(prompts[i : i + self.max_batch])
-                grp_b = budgets[i : i + self.max_batch]
+            out = [None] * len(prompts)
+            for i in range(0, len(order), self.max_batch):
+                idxs = order[i : i + self.max_batch]
                 toks = np.asarray(self.model.generate_text_batch(
-                    self.params, grp_p, max_new_tokens=max(grp_b),
+                    self.params, [prompts[j] for j in idxs],
+                    max_new_tokens=max(budgets[j] for j in idxs),
                     rng=self.rng, temperature=self.temperature,
                     min_p=self.min_p,
                 ))
-                for row, b in zip(toks, grp_b):
-                    row = row[:b].tolist()
+                for row, j in zip(toks, idxs):
+                    row = row[: budgets[j]].tolist()
                     if self.eos_id is not None and self.eos_id in row:
                         row = row[: row.index(self.eos_id) + 1]
-                    out.append(row)
+                    out[j] = row
             return out
-        rids = [self.submit(p, b) for p, b in zip(prompts, budgets)]
+        rids = [None] * len(prompts)
+        for i in order:
+            rids[i] = self.submit(prompts[i], budgets[i])
         by_rid = {r.rid: r.tokens for r in self.run()}
         return [by_rid[rid] for rid in rids]
 

@@ -153,7 +153,9 @@ def estimate_static_time(budgets, pool: int, rtt_s: float, step_s: float):
     pools of `pool` requests): each pool pays one prefill dispatch and one
     decode scan of its max budget."""
     t = 0.0
-    bs = [int(b) for b in budgets]
+    # serve() forms static pools LPT-style (budget-descending) so similar
+    # budgets share a pool — simulate the same grouping
+    bs = sorted((int(b) for b in budgets), reverse=True)
     for i in range(0, len(bs), pool):
         t += 2 * rtt_s + max(bs[i : i + pool]) * step_s
     return t
@@ -170,7 +172,9 @@ def estimate_engine_time(
 
     from transfusion_tpu.models.engine import choose_chunk
 
-    queue = deque(int(b) for b in budgets)
+    # serve() admits longest-first (LPT) for static pools — freed slots
+    # then backfill with cheap work behind the streaming long poles
+    queue = deque(sorted((int(b) for b in budgets), reverse=True))
     slots: list = []
     t = 0.0
     guard = 0
